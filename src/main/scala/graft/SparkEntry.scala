@@ -1,13 +1,456 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{AirQuality, Calibration, GeoFunctions}
+import graft.operators._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (query ids follow §2.10), plus the training-data-pipeline
+  * extension operators. Each SQL-expressible query has a DuckDB oracle in
+  * [[oracleSql]] with *identical column names*; scalar-heavy oracles are
+  * generated from the same table definitions as the Spark plan (see
+  * [[graft.functions.AirQuality.PiecewiseTable]]).
+  *
+  * Convention: timestamps never leave a query raw — they are exported as
+  * epoch seconds (`unix_timestamp`) or epoch microseconds (`unix_micros`)
+  * so Spark-parquet vs DuckDB timestamp rendering can never skew the
+  * driver's hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Epoch seconds (floor) of a (possibly NTZ) timestamp column. */
+  private def eS(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+  /** Epoch microseconds of a (possibly NTZ) timestamp column. */
+  private def eUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Flagship query on sf=0.001: revenue per nation over broadcast dims
+    * (J1). Chosen timestamp-free so it runs under any driver session
+    * config; the richer time-series flagships are q02/q03. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_dim_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — scan + filter + project (P2/P8): predicate and projection push
+    // down to the parquet scan.
+    "q01_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_quantity").between(10, 40) && col("l_returnflag") === "N")
+        .select(col("l_orderkey"), col("l_quantity"))
+    }),
+
+    // Q2 — hourly bucket aggregation (A1).
+    "q02_hourly_agg" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Resample.hourlyAvg(e, col("ts"), col("value"))
+    }),
+
+    // Q3 — gap-filled resample (A2): spine left-join, null rows for empty
+    // buckets.
+    "q03_gapfill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Resample.gapFill(e, col("ts"), 3600,
+        Resample.hourlyAvg(e, col("ts"), col("value")))
+    }),
+
+    // Q4 — summary statistics per device (A3).
+    "q04_summary_stats" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("user_id")).agg(
+        count(col("value")).as("n"),
+        round(avg(col("value")), 4).as("avg_v"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    }),
+
+    // Q5 — dimension equi-joins (J1): fact ⋈ broadcast dims, grouped.
+    "q05_dim_join_revenue" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Q6 — broadcast calibration-dimension join + Taylor apply (J9/F1).
+    "q06_broadcast_calibrate" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .withColumn("cal", Calibration.taylorCols(col("l_extendedprice"),
+          col("p_retailprice") * 0.01, lit(1.05)))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("cal")), 2).as("cal_total"), count(lit(1)).as("n"))
+    }),
+
+    // Q7 — as-of alignment of two series to a common grid (J3).
+    "q07_asof_align" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      AsOfAlign.bucketAlign(
+        e.where(col("event_type") === "click"), col("ts"), col("value"),
+        e.where(col("event_type") === "purchase"), col("ts"), col("value"),
+        900)
+    }),
+
+    // Q8 — latest row per key (W1).
+    "q08_latest_per_key" -> ((s, d) => {
+      WindowOps.latestPerKey(Tables.events(s, d), Seq(col("user_id")),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), eUs(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+    }),
+
+    // Q9 — run-length static-value detection (P5/W3).
+    "q09_run_length" -> ((s, d) => {
+      WindowOps.runLengths(Tables.events(s, d), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), col("event_type"), 3)
+        .select(col("user_id"), col("event_type"), col("run_len"),
+          eS(col("run_start")).as("run_start"))
+    }),
+
+    // Q10 — last-non-null forward fill (W2).
+    "q10_backfill" -> ((s, d) => {
+      val masked = Tables.events(s, d).withColumn("masked",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      WindowOps.backfill(masked, Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), col("masked"), "filled")
+        .select(col("user_id"), col("event_id"), col("filled"))
+    }),
+
+    // Q11 — cadence/interval estimation (A11/W4).
+    "q11_interval_estimate" -> ((s, d) => {
+      WindowOps.intervalEstimate(Tables.events(s, d), col("user_id"),
+        col("ts"), 1, 86400, Seq(col("event_id")))
+    }),
+
+    // Q12 — half-overlapping sliding windows (A5/W5).
+    "q12_sliding_windows" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "1 day", "12 hours"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+        .select(col("user_id"), eS(col("window.start")).as("win_start"),
+          col("n"), col("avg_v"))
+    }),
+
+    // Q13 — mode / top-1 by frequency (P6): stuck-sensor report needs a
+    // discretized value (raw doubles are all-distinct).
+    "q13_mode_top1" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("v", floor(col("value")).cast("long"))
+      WindowOps.modeTop1(e, Seq(col("user_id")), col("v"), 2)
+        .select(col("user_id"), col("v"), col("cnt"))
+    }),
+
+    // Q14 — dead-key gap detection (A12).
+    "q14_dead_keys" -> ((s, d) => {
+      WindowOps.deadKeys(Tables.events(s, d), col("user_id"), col("ts"), 3600)
+    }),
+
+    // Q15 — dedup on key (U1): deterministic first-by-(ts,id) per key.
+    "q15_dedup_keys" -> ((s, d) => {
+      WindowOps.latestPerKey(Tables.events(s, d),
+          Seq(col("user_id"), col("event_type")),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+
+    // Q16 — union + distinct (U2/U3).
+    "q16_union_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.where(col("event_type") === "click").select(col("user_id"), col("event_type"))
+        .unionByName(e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_type")))
+        .distinct()
+    }),
+
+    // Q17 — long→wide pivot (V1), fixed vocabulary.
+    "q17_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(eS(date_trunc("day", col("ts"))).as("day_ts"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+    }),
+
+    // Q18 — wide→long melt (V2) via Dataset.unpivot.
+    "q18_melt" -> ((s, d) => {
+      Tables.lineitem(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "field", "val")
+    }),
+
+    // Q19 — top-N with deterministic ties (W6).
+    "q19_topn" -> ((s, d) => {
+      Tables.events(s, d).orderBy(col("value").desc, col("event_id").asc)
+        .limit(100).select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    // Q20 — geo range join (J6/F5): pairs within 3000 km haversine.
+    "q20_geo_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") * 7 % 120) - 60 + 0.25).as("lat"),
+        ((col("s_suppkey") * 13 % 360) - 180 + 0.5).as("lon"))
+      val a = sup.select(col("s_suppkey").as("a_key"),
+        col("lat").as("a_lat"), col("lon").as("a_lon"))
+      val b = sup.select(col("s_suppkey").as("b_key"),
+        col("lat").as("b_lat"), col("lon").as("b_lon"))
+      a.join(b, col("a_key") < col("b_key"))
+        .withColumn("dist_km", GeoFunctions.haversineKm(
+          col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
+        .where(col("dist_km") <= 3000.0)
+        .select(col("a_key"), col("b_key"), round(col("dist_km"), 2).as("dist_km"))
+    }),
+
+    // Q21 — full-outer metadata diff (J7).
+    "q21_outer_diff" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal_a"))
+      val b = c.where(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 5)
+            .otherwise(col("c_acctbal")).as("bal_b"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .where(!(col("bal_a") <=> col("bal_b")))
+    }),
+
+    // Q22 — per-key linear fit, closed form (A8 order 1).
+    "q22_linear_fit" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("x", eUs(col("ts")) / 1e6 - 1704067200L)
+      RegressionOps.linearFit(e, col("user_id"), col("x"), col("value"), 86400)
+    }),
+
+    // Q23 — z-score outliers (A4 single pass).
+    "q23_zscore_outliers" -> ((s, d) => {
+      Outliers.zscoreOutliers(Tables.events(s, d), col("user_id"),
+          col("value"), 2.5)
+        .select(col("user_id"), col("event_id"), round(col("z"), 4).as("z"))
+    }),
+
+    // Q24 — scalar function library (F5 haversine, F7 AQI, F8 LKI, F10
+    // AQHI, F12 dew point) as one wide projection.
+    "q24_scalar_functions" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+      val rh = least(greatest(k, lit(1)), lit(99)).cast("double")
+      val temp = col("value") / 10
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(Calibration.dewPoint(temp, rh), 4).as("dewp"),
+        round(AirQuality.aqiPm25.column(col("value")), 4).as("aqi"),
+        round(AirQuality.lkiPm25.column(col("value")), 4).as("lki"),
+        AirQuality.aqhi(col("value"), col("value") / 2, col("value") / 4).as("aqhi_v"),
+        round(GeoFunctions.haversineKm(
+          lit(52.0) + (col("user_id") % 10).cast("double") * 0.5,
+          lit(4.0) + (col("user_id") % 20).cast("double") * 0.5,
+          lit(52.37), lit(4.89)), 4).as("dist_km"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared SQL fragments so scalar oracles are generated from the same
+    * definitions as the Spark plans. */
+  private val epochS = "epoch_us(%s)//1000000"
+  private def eSq(c: String) = s"epoch_us($c)//1000000"
+
+  private val hourlyAggSql =
+    "SELECT epoch_us(date_trunc('hour', ts))//1000000 AS bucket_ts, " +
+      "CAST(round(CAST(avg(value) AS DECIMAL(18,6)),2) AS DOUBLE) AS avg_value, " +
+      "count(*) AS n FROM events GROUP BY 1"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 40 AND l_returnflag = 'N'""",
+
+    "q02_hourly_agg" -> hourlyAggSql,
+
+    "q03_gapfill" ->
+      s"""WITH agg AS ($hourlyAggSql),
+          bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM agg),
+          spine AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS bucket_ts FROM bounds)
+          SELECT s.bucket_ts, a.avg_value, a.n
+          FROM spine s LEFT JOIN agg a USING (bucket_ts)""",
+
+    "q04_summary_stats" ->
+      """SELECT user_id, count(value) AS n, round(avg(value),4) AS avg_v,
+                round(stddev_samp(value),4) AS sd_v,
+                min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY user_id""",
+
+    "q05_dim_join_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue,
+                count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q06_broadcast_calibrate" ->
+      """SELECT p_brand,
+                round(sum(p_retailprice*0.01 + 1.05*l_extendedprice),2) AS cal_total,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "q07_asof_align" ->
+      s"""WITH a AS (SELECT (${eSq("ts")})//900*900 AS bucket_ts,
+                 round(avg(value),4) AS avg_a, count(*) AS n_a
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+          b AS (SELECT (${eSq("ts")})//900*900 AS bucket_ts,
+                 round(avg(value),4) AS avg_b, count(*) AS n_b
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1)
+          SELECT bucket_ts, avg_a, n_a, avg_b, n_b FROM a JOIN b USING (bucket_ts)""",
+
+    "q08_latest_per_key" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) = 1""",
+
+    "q09_run_length" ->
+      s"""WITH t AS (SELECT user_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+          FROM events)
+          SELECT user_id, event_type, count(*) AS run_len,
+                 ${eSq("min(ts)")} AS run_start
+          FROM t GROUP BY user_id, event_type, grp HAVING count(*) >= 3""",
+
+    "q10_backfill" ->
+      """SELECT user_id, event_id,
+                last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM events""",
+
+    "q11_interval_estimate" ->
+      """WITH dd AS (SELECT user_id,
+            (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id))/1e6 AS diff_s
+          FROM events)
+         SELECT user_id, round(avg(diff_s),4) AS mean_interval,
+                round(avg(diff_s) + 2*stddev_samp(diff_s),4) AS interval_2sig,
+                count(*) AS n_diffs
+         FROM dd WHERE diff_s BETWEEN 1 AND 86400 GROUP BY user_id""",
+
+    "q12_sliding_windows" ->
+      """SELECT user_id, (epoch_us(ts)//43200000000 - o) * 43200 AS win_start,
+                count(*) AS n, round(avg(value),4) AS avg_v
+         FROM events CROSS JOIN (SELECT unnest([0,1]) AS o)
+         GROUP BY user_id, win_start""",
+
+    "q13_mode_top1" ->
+      """SELECT user_id, v, cnt FROM (
+           SELECT user_id, CAST(floor(value) AS BIGINT) AS v, count(*) AS cnt
+           FROM events GROUP BY user_id, v HAVING count(*) > 2)
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY cnt DESC, v ASC) = 1""",
+
+    "q14_dead_keys" ->
+      s"""WITH ls AS (SELECT user_id, max(${eSq("ts")}) AS last_seen
+          FROM events GROUP BY user_id)
+          SELECT user_id, last_seen,
+                 (SELECT max(last_seen) FROM ls) - last_seen AS gap_s
+          FROM ls WHERE (SELECT max(last_seen) FROM ls) - last_seen > 3600""",
+
+    "q15_dedup_keys" ->
+      """SELECT user_id, event_type, event_id, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ASC, event_id ASC) = 1""",
+
+    "q16_union_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM (
+           SELECT user_id, event_type FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, event_type FROM events WHERE event_type = 'purchase')""",
+
+    "q17_pivot" ->
+      """SELECT epoch_us(date_trunc('day', ts))//1000000 AS day_ts,
+                round(sum(value) FILTER (WHERE event_type='click'),2) AS click,
+                round(sum(value) FILTER (WHERE event_type='error'),2) AS error,
+                round(sum(value) FILTER (WHERE event_type='purchase'),2) AS purchase,
+                round(sum(value) FILTER (WHERE event_type='signup'),2) AS signup,
+                round(sum(value) FILTER (WHERE event_type='view'),2) AS view
+         FROM events GROUP BY 1""",
+
+    "q18_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    "q19_topn" ->
+      """SELECT event_id, user_id, value FROM events
+         ORDER BY value DESC, event_id ASC LIMIT 100""",
+
+    "q20_geo_join" ->
+      """WITH s AS (SELECT s_suppkey,
+                (s_suppkey*7 % 120) - 60 + 0.25 AS lat,
+                (s_suppkey*13 % 360) - 180 + 0.5 AS lon FROM supplier)
+         SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+                round(2*6371000*asin(sqrt(
+                  pow(sin(radians(b.lat-a.lat)/2),2) +
+                  cos(radians(a.lat))*cos(radians(b.lat))
+                    *pow(sin(radians(b.lon-a.lon)/2),2)))/1000.0, 2) AS dist_km
+         FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+         WHERE 2*6371000*asin(sqrt(
+                  pow(sin(radians(b.lat-a.lat)/2),2) +
+                  cos(radians(a.lat))*cos(radians(b.lat))
+                    *pow(sin(radians(b.lon-a.lon)/2),2)))/1000.0 <= 3000.0""",
+
+    "q21_outer_diff" ->
+      """WITH a AS (SELECT c_custkey, c_acctbal AS bal_a FROM customer
+                    WHERE c_custkey % 3 != 0),
+              b AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 5
+                           ELSE c_acctbal END AS bal_b
+                    FROM customer WHERE c_custkey % 5 != 0)
+         SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey, bal_a, bal_b
+         FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+         WHERE bal_a IS DISTINCT FROM bal_b""",
+
+    "q22_linear_fit" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts)/1e6 - 1704067200 AS x,
+                           value AS y FROM events)
+         SELECT user_id, count(*) AS n,
+                round(covar_samp(x,y)/var_samp(x)*86400,4) AS slope,
+                round(avg(y) - covar_samp(x,y)/var_samp(x)*avg(x),4) AS intercept,
+                round(pow(corr(x,y),2),4) AS r2
+         FROM t GROUP BY user_id""",
+
+    "q23_zscore_outliers" ->
+      """WITH s AS (SELECT user_id AS k, avg(value) AS mu,
+                           stddev_samp(value) AS sigma
+                    FROM events GROUP BY user_id)
+         SELECT user_id, event_id, round((value-mu)/sigma,4) AS z
+         FROM events JOIN s ON user_id = k
+         WHERE abs((value-mu)/sigma) > 2.5""",
+
+    "q24_scalar_functions" -> {
+      val rh = "least(greatest(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT), 1), 99)::DOUBLE"
+      val temp = "(value/10)"
+      val lat1 = s"(52.0 + (user_id % 10)::DOUBLE * 0.5)"
+      val lon1 = s"(4.0 + (user_id % 20)::DOUBLE * 0.5)"
+      val hav = s"2*6371000*asin(sqrt(pow(sin(radians(52.37-$lat1)/2),2) + " +
+        s"cos(radians($lat1))*cos(radians(52.37))*pow(sin(radians(4.89-$lon1)/2),2)))/1000.0"
+      s"""SELECT event_id,
+             round(${Calibration.dewPointSql(temp, rh)}, 4) AS dewp,
+             round(${AirQuality.aqiPm25.sqlCase("value")}, 4) AS aqi,
+             round(${AirQuality.lkiPm25.sqlCase("value")}, 4) AS lki,
+             ${AirQuality.aqhiSql("value", "(value/2)", "(value/4)")} AS aqhi_v,
+             round($hav, 4) AS dist_km
+          FROM events"""
+    }
+  )
 }

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial scalar library.
+  *
+  * Semantics follow the reference implementation (MySense):
+  *  - haversine great-circle distance, R = 6 371 000 m
+  *    (reference: `lib/MyGPS.py:89-119`, SQL `ST_Distance_Sphere` in
+  *    `scripts/UpdateValidity.sh:192`); 118 m is the canonical "kit moved"
+  *    threshold (`MyDatacollector.py:1111`).
+  *  - geohash base32 encode/decode, precision 10-12
+  *    (reference: `lib/MyGPS.py:40-54`).
+  *  - matching-geohash-prefix-length → approximate distance lookup
+  *    (reference: `lib/MyGPS.py:58-79`).
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (no UDF boxing in the hot path); geohash encode/decode are
+  * UDFs on the dimension-sized path only.
+  */
+object GeoFunctions {
+
+  val EarthRadiusM = 6371000.0
+
+  /** Great-circle distance in metres between two lat/lon points (degrees).
+    * Pure arithmetic + trig -> stays inside whole-stage codegen.
+    */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** Kilometre variant (used by the range-join queries). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    haversineM(lat1, lon1, lat2, lon2) / 1000.0
+
+  // ---- geohash (scala-side pure functions + udf wrappers) ----
+
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Encode lat/lon to a geohash string of the given precision. */
+  def geohashEncode(lat: Double, lon: Double, precision: Int): String = {
+    var (latLo, latHi) = (-90.0, 90.0)
+    var (lonLo, lonHi) = (-180.0, 180.0)
+    val sb = new StringBuilder
+    var bit = 0
+    var ch = 0
+    var even = true
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(Base32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Decode a geohash to the (lat, lon) centre of its cell. */
+  def geohashDecode(gh: String): (Double, Double) = {
+    var (latLo, latHi) = (-90.0, 90.0)
+    var (lonLo, lonHi) = (-180.0, 180.0)
+    var even = true
+    gh.foreach { c =>
+      val cd = Base32.indexOf(c.toLower)
+      var mask = 16
+      while (mask > 0) {
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if ((cd & mask) != 0) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if ((cd & mask) != 0) latLo = mid else latHi = mid
+        }
+        even = !even
+        mask >>= 1
+      }
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+
+  /** Approximate distance (m) implied by the length of the common geohash
+    * prefix of two hashes; lookup per reference `lib/MyGPS.py:58-79`.
+    */
+  private val PrefixDistM: Array[Double] =
+    Array(20000000, 5003530, 625441, 123264, 19545, 3803, 610, 118, 19, 3.71, 0.6)
+
+  def geohashPrefixDistanceM(a: String, b: String): Double = {
+    val n = a.zip(b).takeWhile { case (x, y) => x == y }.length
+    PrefixDistM(math.min(n, PrefixDistM.length - 1))
+  }
+
+  import org.apache.spark.sql.functions.udf
+  val geohashEncodeUdf =
+    udf((lat: Double, lon: Double, p: Int) => geohashEncode(lat, lon, p))
+  val geohashDecodeLatUdf = udf((gh: String) => geohashDecode(gh)._1)
+  val geohashDecodeLonUdf = udf((gh: String) => geohashDecode(gh)._2)
+  val geohashPrefixDistUdf =
+    udf((a: String, b: String) => geohashPrefixDistanceM(a, b))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed window / ordering operators.
+  *
+  * Reference semantics, file:line into `/root/reference/`:
+  *  - latest-per-kit `ORDER BY datum DESC LIMIT 1` (`MyDatacollector.py:733`,
+  *    `scripts/MySQL2CSV.sh:215`)
+  *  - run-length "static value" detection (`scripts/FilterShow.py:362-383`)
+  *  - last-non-null validity back-fill (`MyDatacollector.py:1569-1598`)
+  *  - interval estimation, mean+2σ of consecutive diffs
+  *    (`statistics/MyRegression.py:267-277`)
+  *  - dead-kit detection (`MyDatacollector.py:720-756`)
+  *  - stuck-sensor mode report (`scripts/ReportFailingSensors.sh:420-440`)
+  *
+  * All are single-shuffle window/agg plans: each partitions by the kit key,
+  * which is exactly the archive's physical partitioning at scale, so with a
+  * pre-partitioned archive these run shuffle-free.
+  */
+object WindowOps {
+
+  /** Newest row per key; `tiebreak` makes the pick deterministic. */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .where(col("rn") === 1).drop("rn")
+
+  /** Runs of >= minLen identical `value` per key in `order` order.
+    * Returns one row per run: key cols, value, run_len, first order value.
+    * Gaps-and-islands via difference of row_numbers (no self-join).
+    */
+  def runLengths(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 value: Column, minLen: Long): DataFrame = {
+    val byKey = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val byKeyVal = Window.partitionBy(keys :+ value: _*).orderBy(order: _*)
+    df.withColumn("grp",
+        row_number().over(byKey) - row_number().over(byKeyVal))
+      .groupBy(keys :+ value :+ col("grp"): _*)
+      .agg(count(lit(1)).as("run_len"), min(order.head).as("run_start"))
+      .where(col("run_len") >= minLen)
+      .drop("grp")
+  }
+
+  /** Forward-fill nulls in `value` per key (`last(..., ignoreNulls)`). */
+  def backfill(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+               value: Column, as: String): DataFrame =
+    df.withColumn(as, last(value, ignoreNulls = true).over(
+      Window.partitionBy(keys: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Per-key cadence estimate: mean and mean+2σ of consecutive epoch-second
+    * diffs restricted to [loSec, hiSec].
+    */
+  def intervalEstimate(df: DataFrame, key: Column, ts: Column,
+                       loSec: Double, hiSec: Double,
+                       tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts +: tiebreak: _*)
+    val us = unix_micros(ts.cast("timestamp"))
+    df.withColumn("diff_s", (us - lag(us, 1).over(w)) / 1e6)
+      .where(col("diff_s").between(loSec, hiSec))
+      .groupBy(key)
+      .agg(round(avg(col("diff_s")), 4).as("mean_interval"),
+           round(avg(col("diff_s")) + lit(2) * stddev_samp(col("diff_s")), 4)
+             .as("interval_2sig"),
+           count(lit(1)).as("n_diffs"))
+  }
+
+  /** Keys whose latest event lags the global latest by more than `gapSec`. */
+  def deadKeys(df: DataFrame, key: Column, ts: Column, gapSec: Long): DataFrame = {
+    val lastSeen = df.groupBy(key).agg(max(unix_timestamp(ts)).as("last_seen"))
+    lastSeen
+      .withColumn("global_last", max(col("last_seen")).over(Window.partitionBy()))
+      .withColumn("gap_s", col("global_last") - col("last_seen"))
+      .where(col("gap_s") > gapSec)
+      .drop("global_last")
+  }
+
+  /** Most frequent value per key with support > minCount
+    * (stuck-sensor report). Deterministic tie-break on the value itself.
+    */
+  def modeTop1(df: DataFrame, keys: Seq[Column], value: Column,
+               minCount: Long): DataFrame =
+    df.groupBy(keys :+ value: _*).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > minCount)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("cnt").desc, value.asc)))
+      .where(col("rn") === 1).drop("rn")
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class AirQualitySpec extends AnyFunSuite {
+  private def idx(t: AirQuality.PiecewiseTable, v: Double): Double =
+    TestSpark.spark.range(1).select(t.column(lit(v)).cast("double")).head.getDouble(0)
+
+  test("AQI pm2.5: EPA breakpoint anchors") {
+    assert(idx(AirQuality.aqiPm25, 0.0) == 0.0)
+    assert(idx(AirQuality.aqiPm25, 12.0) == 50.0)
+    assert(idx(AirQuality.aqiPm25, 35.4) == 100.0)
+    assert(idx(AirQuality.aqiPm25, 55.4) == 150.0)
+    assert(idx(AirQuality.aqiPm25, 9999.0) == 500.0) // capped
+    // interior interpolation: 9.0 -> 50/12*9 = 37.5
+    assert(math.abs(idx(AirQuality.aqiPm25, 9.0) - 37.5) < 1e-9)
+  }
+
+  test("AQI pm10 anchors") {
+    assert(idx(AirQuality.aqiPm10, 54.0) == 50.0)
+    assert(idx(AirQuality.aqiPm10, 154.0) == 100.0)
+  }
+
+  test("LKI pm2.5: RIVM anchors and interpolation") {
+    assert(idx(AirQuality.lkiPm25, 10.0) == 2.0)
+    assert(math.abs(idx(AirQuality.lkiPm25, 25.0) - 4.5) < 1e-9)
+    assert(idx(AirQuality.lkiPm25, 500.0) == 11.0) // capped
+  }
+
+  test("piecewise tables are monotone non-decreasing (seeded sweep)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = (0 to 600 by 3).map(_.toDouble).toDF("c")
+    Seq(AirQuality.aqiPm25, AirQuality.aqiPm10, AirQuality.lkiPm25,
+        AirQuality.lkiPm10, AirQuality.caqiPm10).foreach { t =>
+      val ys = vals.select(t.column($"c").cast("double")).as[Double].collect()
+      ys.sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b + 1e-9, s"non-monotone at $a > $b")
+      case _ => ()
+      }
+    }
+  }
+
+  test("sqlCase renders the same values as column (DuckDB-oracle parity)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (0 to 200 by 7).map(_.toDouble).toDF("v")
+    df.createOrReplaceTempView("aq_parity")
+    val viaSql = spark.sql(
+      s"SELECT ${AirQuality.aqiPm25.sqlCase("v")} AS i FROM aq_parity ORDER BY i")
+      .as[Double].collect()
+    val viaCol = df.select(AirQuality.aqiPm25.column($"v").cast("double").as("i"))
+      .orderBy($"i").as[Double].collect()
+    viaSql.zip(viaCol).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("AQHI: known formula value and cap") {
+    val spark = TestSpark.spark
+    val v = spark.range(1)
+      .select(AirQuality.aqhi(lit(30.0), lit(20.0), lit(10.0)).cast("double"))
+      .head.getDouble(0)
+    val expect = 1000.0 / 10.4 * ((math.exp(0.000537 * 30) - 1) +
+      (math.exp(0.000871 * 20) - 1) + (math.exp(0.000487 * 10) - 1))
+    assert(math.abs(v - math.rint(expect * 100) / 100) < 0.01)
+    val capped = spark.range(1)
+      .select(AirQuality.aqhi(lit(1e5), lit(1e5), lit(1e5)).cast("double"))
+      .head.getDouble(0)
+    assert(capped == 11.0)
+  }
+}
