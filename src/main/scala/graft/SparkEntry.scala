@@ -438,7 +438,9 @@ object SparkEntry {
          WHERE abs((value-mu)/sigma) > 2.5""",
 
     "q24_scalar_functions" -> {
-      val rh = "least(greatest(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT), 1), 99)::DOUBLE"
+      // TRY_CAST: Spark's cast-to-int yields null on a non-numeric extract;
+      // DuckDB's CAST would error instead (ADVICE r1) — TRY_CAST agrees.
+      val rh = "least(greatest(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT), 1), 99)::DOUBLE"
       val temp = "(value/10)"
       val lat1 = s"(52.0 + (user_id % 10)::DOUBLE * 0.5)"
       val lon1 = s"(4.0 + (user_id % 20)::DOUBLE * 0.5)"

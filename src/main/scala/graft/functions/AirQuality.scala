@@ -7,85 +7,139 @@ import org.apache.spark.sql.functions._
   * Canadian AQHI) as pure `Column` expressions (when-chains + arithmetic,
   * fully codegen'd — no UDFs).
   *
-  * Breakpoint tables follow the reference (`scripts/AirQualityIndex.py`):
-  * AQI `:233-241`, LKI `:414-423`, CAQI `:590-640`, AQHI `:861-868`.
-  * Interpolation uses the published EPA formula
-  * `I = (Ihi-Ilo)/(Chi-Clo)·(C-Clo) + Ilo` per segment, capped at the
-  * table max.
+  * The computations mirror the reference (`scripts/AirQualityIndex.py`)
+  * *exactly*, including its idiosyncrasies:
+  *  - segment pick is `val < break[i+1]` (strict upper bound), AQI `:305-307`;
+  *  - the interpolation denominator is `hi - hi/1000 - lo` (the reference
+  *    subtracts `pollutant[indx+1]/1000`), AQI `:311-313`, LKI `:462-464`,
+  *    CAQI `:736-738`;
+  *  - AQI's index-side numerator is `(AQIs[indx+1] - 1) - AQIs[indx]`
+  *    (`:311`), CAQI's is `CAQIclass[indx+1]·0.999 - CAQIclass[indx]`
+  *    (`:736`), LKI's is plain `LKIs[indx+1] - LKIs[indx]` (`:462`);
+  *  - values beyond the second-to-last break reuse the last regular
+  *    segment's line (the reference clamps `indx`, AQI `:308-309`,
+  *    LKI `:460`), then cap (AQI 500 `:315`, LKI 11 `:466`, CAQI 120
+  *    `:740`);
+  *  - input concentration is pre-rounded per pollutant: O₃ 3 decimals,
+  *    PM2.5/CO 1 decimal, PM10/SO₂/NO₂ integer (AQI `:301-304`,
+  *    LKI `:453-457`);
+  *  - AQI/CAQI round the result to an integer (`:314`, `:739`); LKI keeps
+  *    the raw value (1-decimal presentation happens at view time).
   *
-  * Each index also has a [[PiecewiseTable.sqlCase]] renderer that emits the
-  * *same* computation as ANSI SQL, so DuckDB oracles share one definition
-  * with the Spark plan (no dual-maintenance drift).
+  * Divergence (documented): the reference raises for negative input (its
+  * callers regex-reject non-numeric strings, `maxAQI :355`) and for values
+  * beyond the final table break (IndexError in the segment loop); we return
+  * 0 for negatives and cap instead of crashing — total functions are the
+  * only sane column semantics.
+  *
+  * Each index also has a `sqlCase` renderer emitting the *same* computation
+  * as ANSI SQL, so DuckDB oracles share one definition with the Spark plan.
   */
 object AirQuality {
 
-  /** A piecewise-linear mapping: concentration segments -> index segments. */
-  final case class PiecewiseTable(segments: Seq[(Double, Double, Double, Double)],
-                                  cap: Double, decimals: Int) {
-    // segments: (cLo, cHi, iLo, iHi)
+  /** One interpolation segment: for c in [lo, hi): iLo + slope·(c − lo).
+    * The last segment also serves values ≥ its hi (reference index clamp).
+    */
+  final case class Segment(lo: Double, hi: Double, iLo: Double, slope: Double)
 
-    /** Spark expression: interpolated index of concentration column `c`. */
+  /** A reference-faithful piecewise index mapping.
+    *
+    * @param inDecimals  pre-rounding of the concentration (per pollutant)
+    * @param outInteger  whether the result is rounded to an integer
+    * @param cap         upper cap applied after rounding
+    */
+  final case class PiecewiseTable(segments: Seq[Segment], inDecimals: Int,
+                                  outInteger: Boolean, cap: Double) {
+
+    /** Spark expression: interpolated index of concentration column `c0`. */
     def column(c0: Column): Column = {
-      val c = round(c0, decimals)
-      val chain = segments.foldRight(lit(cap)) { case ((cLo, cHi, iLo, iHi), els) =>
-        when(c <= cHi, lit((iHi - iLo) / (cHi - cLo)) * (c - cLo) + iLo).otherwise(els)
+      val c = round(c0, inDecimals)
+      val lastS = segments.last
+      val chain = segments.init.foldRight(
+          lit(lastS.iLo) + lit(lastS.slope) * (c - lastS.lo)) {
+        case (s, els) =>
+          when(c < s.hi, lit(s.iLo) + lit(s.slope) * (c - s.lo)).otherwise(els)
       }
-      when(c0.isNull, null).when(c < 0, 0).otherwise(least(chain, lit(cap)))
+      val r = if (outInteger) round(chain, 0) else chain
+      when(c0.isNull, null).when(c < 0, 0).otherwise(least(r, lit(cap)))
     }
 
     /** Identical computation rendered as SQL (DuckDB/ANSI) for the oracle. */
     def sqlCase(v: String): String = {
-      val c = s"round($v, $decimals)"
-      val chain = segments.foldRight(cap.toString) { case ((cLo, cHi, iLo, iHi), els) =>
-        s"CASE WHEN $c <= $cHi THEN ${(iHi - iLo) / (cHi - cLo)} * ($c - $cLo) + $iLo ELSE $els END"
+      val c = s"round($v, $inDecimals)"
+      def seg(s: Segment) = s"${s.iLo} + ${s.slope} * ($c - ${s.lo})"
+      val chain = segments.init.foldRight(seg(segments.last)) { case (s, els) =>
+        s"CASE WHEN $c < ${s.hi} THEN ${seg(s)} ELSE $els END"
       }
-      s"CASE WHEN $v IS NULL THEN NULL WHEN $c < 0 THEN 0 ELSE least($chain, $cap) END"
+      val r = if (outInteger) s"round($chain, 0)" else s"($chain)"
+      s"CASE WHEN $v IS NULL THEN NULL WHEN $c < 0 THEN 0 ELSE least($r, $cap) END"
     }
   }
 
-  /** US EPA AQI for PM2.5 (µg/m³, 1-decimal rounding per EPA; table per
-    * reference `AirQualityIndex.py:236` / EPA AQI technical assistance doc).
+  /** US EPA AQI family (`AirQualityIndex.py:233-241` AQItable, `:243` AQIs,
+    * formula `:305-315`): breaks B (8 entries) with index lows
+    * I = [0,51,101,151,201,301,401]; segment i line is
+    * `I[i] + (I[i+1]−1−I[i])/(B[i+1]·0.999 − B[i])·(c − B[i])`; segments
+    * 0..5 usable (indx clamp `:308`), integer result, cap 500.
     */
-  val aqiPm25: PiecewiseTable = PiecewiseTable(Seq(
-    (0.0, 12.0, 0, 50), (12.1, 35.4, 51, 100), (35.5, 55.4, 101, 150),
-    (55.5, 150.4, 151, 200), (150.5, 250.4, 201, 300),
-    (250.5, 350.4, 301, 400), (350.5, 500.4, 401, 500)).map {
-      case (a, b, c, d) => (a, b, c.toDouble, d.toDouble) }, 500, 1)
+  private def aqiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
+    val idx = Seq(0.0, 51, 101, 151, 201, 301, 401)
+    val segs = (0 to 5).map { i =>
+      Segment(breaks(i), breaks(i + 1), idx(i),
+        (idx(i + 1) - 1 - idx(i)) / (breaks(i + 1) * 0.999 - breaks(i)))
+    }
+    PiecewiseTable(segs, inDecimals, outInteger = true, cap = 500)
+  }
 
-  /** US EPA AQI for PM10 (µg/m³, integer rounding). */
-  val aqiPm10: PiecewiseTable = PiecewiseTable(Seq(
-    (0.0, 54.0, 0, 50), (55.0, 154.0, 51, 100), (155.0, 254.0, 101, 150),
-    (255.0, 354.0, 151, 200), (355.0, 424.0, 201, 300),
-    (425.0, 504.0, 301, 400), (505.0, 604.0, 401, 500)).map {
-      case (a, b, c, d) => (a, b, c.toDouble, d.toDouble) }, 500, 0)
+  /** AQI for PM2.5 µg/m³ (1-decimal input rounding, `:303`). */
+  val aqiPm25: PiecewiseTable =
+    aqiTable(Seq(0, 12.1, 35.5, 55.5, 150.5, 250.5, 350.5, 500.4), 1)
 
-  /** NL RIVM LKI (report 2014-0050) for PM2.5, range 0-11, 1 decimal
-    * (reference `AirQualityIndex.py:414-423`).
+  /** AQI for PM10 µg/m³ (integer input rounding, `:304`). */
+  val aqiPm10: PiecewiseTable =
+    aqiTable(Seq(0, 55, 155, 255, 355, 425, 505, 604), 0)
+
+  /** NL RIVM LKI family (`AirQualityIndex.py:414-423` LKItable, `:425`
+    * LKIs = 0..12, formula `:458-466`): segment i of the 10 breaks maps to
+    * indices (i, i+1) with slope `1/(B[i+1]·0.999 − B[i])`; segments 0..8
+    * usable (indx clamp `:460`), raw result, cap 11.
     */
-  val lkiPm25: PiecewiseTable = PiecewiseTable({
-    val breaks = Seq(0.0, 10, 15, 20, 30, 40, 50, 70, 90, 100)
-    breaks.init.zip(breaks.tail).zipWithIndex.map { case ((lo, hi), i) =>
-      (lo, hi, (i + 1).toDouble, (i + 2).toDouble)
+  private def lkiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
+    val segs = (0 to 8).map { i =>
+      Segment(breaks(i), breaks(i + 1), i.toDouble,
+        1.0 / (breaks(i + 1) * 0.999 - breaks(i)))
     }
-  }, 11, 1)
+    PiecewiseTable(segs, inDecimals, outInteger = false, cap = 11)
+  }
 
-  /** NL RIVM LKI for PM10 (`AirQualityIndex.py:417`). */
-  val lkiPm10: PiecewiseTable = PiecewiseTable({
-    val breaks = Seq(0.0, 10, 20, 30, 45, 60, 75, 100, 125, 150)
-    breaks.init.zip(breaks.tail).zipWithIndex.map { case ((lo, hi), i) =>
-      (lo, hi, (i + 1).toDouble, (i + 2).toDouble)
-    }
-  }, 11, 1)
+  /** LKI for PM2.5 (`:417` pm_25 row; 1-decimal input rounding `:456`). */
+  val lkiPm25: PiecewiseTable =
+    lkiTable(Seq(0, 10, 15, 20, 30, 40, 50, 70, 90, 100), 1)
 
-  /** EU CAQI (background) for PM10 hourly, classes 0-25-50-75-100, cap 125
-    * (`AirQualityIndex.py:612-616`, class bounds `:644`).
+  /** LKI for PM10 (`:416` pm_10 row; integer input rounding `:457`). */
+  val lkiPm10: PiecewiseTable =
+    lkiTable(Seq(0, 10, 20, 30, 45, 60, 75, 100, 125, 150), 0)
+
+  /** EU CAQI family (`AirQualityIndex.py:590-640` CAQItable background,
+    * `:642` CAQIclass = [0,25,50,75,100,125], formula `:734-740`):
+    * segment i line is `C[i] + (C[i+1]·0.999 − C[i])/(B[i+1]·0.999 − B[i])
+    * ·(c − B[i])`; all five segments incl. (180,360)→(100,125); integer
+    * result, cap 120 (`:740` — the reference caps at 120, not 125).
     */
-  val caqiPm10: PiecewiseTable = PiecewiseTable({
-    val breaks = Seq(0.0, 25, 50, 90, 180)
-    breaks.init.zip(breaks.tail).zipWithIndex.map { case ((lo, hi), i) =>
-      (lo, hi, i * 25.0, (i + 1) * 25.0)
+  private def caqiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
+    val cls = Seq(0.0, 25, 50, 75, 100, 125)
+    val segs = (0 to 4).map { i =>
+      Segment(breaks(i), breaks(i + 1), cls(i),
+        (cls(i + 1) * 0.999 - cls(i)) / (breaks(i + 1) * 0.999 - breaks(i)))
     }
-  }, 125, 0)
+    PiecewiseTable(segs, inDecimals, outInteger = true, cap = 120)
+  }
+
+  /** CAQI (background, hourly) for PM10 (`:612` level [0,25,50,90,180,360]). */
+  val caqiPm10: PiecewiseTable = caqiTable(Seq(0, 25, 50, 90, 180, 360), 0)
+
+  /** CAQI (background, hourly) for PM2.5 (`:622` level [0,15,30,55,110,220]). */
+  val caqiPm25: PiecewiseTable = caqiTable(Seq(0, 15, 30, 55, 110, 220), 1)
 
   /** Canadian AQHI: `(1000/10.4)·Σ(exp(βᵢ·polᵢ)−1)`, β = 0.000537 (O₃),
     * 0.000871 (NO₂), 0.000487 (PM2.5); capped at 11, 2 decimals
@@ -101,13 +155,23 @@ object AirQuality {
   def aqhiSql(o3: String, no2: String, pm25: String): String =
     s"round(least((1000.0/10.4) * ((exp(0.000537*$o3)-1) + (exp(0.000871*$no2)-1) + (exp(0.000487*$pm25)-1)), 11.0), 2)"
 
-  /** Combined index: max over per-pollutant indices, with the reference's
-    * "cumulative effect" bump when all pollutants sit in the same band
-    * (`AirQualityIndex.py:323-375` maxAQI: +25 when min≈max).
+  /** Combined AQI: max over per-pollutant indices plus the reference's
+    * "cumulative effect" bump — when more than one pollutant is defined and
+    * the indices sit within 25 of each other (`min_val + 25 >= max_val`),
+    * add 25 (`AirQualityIndex.py:369-370` maxAQI; the reference applies no
+    * post-bump cap). `nPols` is the count of defined pollutant indices.
     */
-  def maxIndex(indices: Column*): Column = {
+  def maxIndex(nPols: Column, indices: Column*): Column = {
     val mx = greatest(indices: _*)
     val mn = least(indices: _*)
-    when(mx - mn <= 1.0, least(mx + 25.0, lit(500.0))).otherwise(mx)
+    when(nPols > 1 && mn + 25.0 >= mx, mx + 25.0).otherwise(mx)
+  }
+
+  /** Combined CAQI: same shape, +50 bump, no >1-pollutant requirement
+    * (`AirQualityIndex.py:755-756` maxCAQI). */
+  def maxCaqi(indices: Column*): Column = {
+    val mx = greatest(indices: _*)
+    val mn = least(indices: _*)
+    when(mn + 25.0 >= mx, mx + 50.0).otherwise(mx)
   }
 }

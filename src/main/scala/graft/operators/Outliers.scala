@@ -24,25 +24,31 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object Outliers {
 
-  /** Rows with |v − mean| / stddev > c per key (one-pass, two aggregates). */
+  /** Rows with |v − mean| / stddev > c per key.
+    *
+    * One shuffle on the key (window aggregate over the whole key
+    * partition) — no join, no broadcast. Per-key stats broadcast would be
+    * one row *per key* and blow up at high key cardinality; the window
+    * keeps stats computation co-partitioned with the rows that need them,
+    * which also matches the archive's physical (project,serial)
+    * partitioning at cluster scale.
+    */
   def zscoreOutliers(df: DataFrame, key: Column, v: Column, c: Double): DataFrame = {
-    val stats = df.groupBy(key.as("k"))
-      .agg(avg(v).as("mu"), stddev_samp(v).as("sigma"))
-    df.join(broadcast(stats), key === col("k"))
-      .withColumn("z", (v - col("mu")) / col("sigma"))
+    val w = Window.partitionBy(key)
+    df.withColumn("z", (v - avg(v).over(w)) / stddev_samp(v).over(w))
       .where(abs(col("z")) > c)
-      .drop("k", "mu", "sigma")
   }
 
-  /** Modified z-score outliers: |x−median| / median(|x−median|) >= m. */
+  /** Modified z-score outliers: |x−median| / median(|x−median|) >= m
+    * (`grubbs.py:745-756`). Two window passes over the same key
+    * partitioning (median, then MAD) — Spark reuses the exchange.
+    */
   def madOutliers(df: DataFrame, key: Column, v: Column, m: Double): DataFrame = {
-    val med = df.groupBy(key.as("k")).agg(median(v).as("med"))
-    val dev = df.join(broadcast(med), key === col("k"))
-      .withColumn("adev", abs(v - col("med")))
-    val mad = dev.groupBy(col("k")).agg(median(col("adev")).as("mad"))
-    dev.drop("mad").join(broadcast(mad), "k")
+    val w = Window.partitionBy(key)
+    df.withColumn("adev", abs(v - median(v).over(w)))
+      .withColumn("mad", median(col("adev")).over(w))
       .where(col("adev") / col("mad") >= m)
-      .drop("k", "med", "adev", "mad")
+      .drop("adev", "mad")
   }
 
   // ---- Grubbs ----

@@ -26,20 +26,18 @@ object RegressionOps {
       round(pow(corr(x, y), 2), 4).as("r2"))
 
   /** Min-max normalisation of `v` to [0,1] per key
-    * (`MyRegression.py:816-836`). */
+    * (`MyRegression.py:816-836`). Window over the key — one shuffle,
+    * no join/broadcast (per-key stats would be one row per key and exceed
+    * broadcast limits at high key cardinality).
+    */
   def minMaxNorm(df: DataFrame, key: Column, v: Column, as: String): DataFrame = {
-    val stats = df.groupBy(key.as("k")).agg(min(v).as("mn"), max(v).as("mx"))
-    df.join(broadcast(stats), key === col("k"))
-      .withColumn(as, (v - col("mn")) / (col("mx") - col("mn")))
-      .drop("k", "mn", "mx")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn(as, (v - min(v).over(w)) / (max(v).over(w) - min(v).over(w)))
   }
 
-  /** Z-score normalisation per key. */
+  /** Z-score normalisation per key; same single-shuffle window shape. */
   def zNorm(df: DataFrame, key: Column, v: Column, as: String): DataFrame = {
-    val stats = df.groupBy(key.as("k"))
-      .agg(avg(v).as("mu"), stddev_samp(v).as("sigma"))
-    df.join(broadcast(stats), key === col("k"))
-      .withColumn(as, (v - col("mu")) / col("sigma"))
-      .drop("k", "mu", "sigma")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn(as, (v - avg(v).over(w)) / stddev_samp(v).over(w))
   }
 }

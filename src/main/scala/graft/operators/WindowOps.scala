@@ -68,11 +68,15 @@ object WindowOps {
            count(lit(1)).as("n_diffs"))
   }
 
-  /** Keys whose latest event lags the global latest by more than `gapSec`. */
+  /** Keys whose latest event lags the global latest by more than `gapSec`.
+    * The global max is a 1-row aggregate broadcast-cross-joined back in —
+    * an unpartitioned window here would drag every per-key row onto a
+    * single partition (last_seen has one row per key: millions at scale).
+    */
   def deadKeys(df: DataFrame, key: Column, ts: Column, gapSec: Long): DataFrame = {
     val lastSeen = df.groupBy(key).agg(max(unix_timestamp(ts)).as("last_seen"))
-    lastSeen
-      .withColumn("global_last", max(col("last_seen")).over(Window.partitionBy()))
+    val globalLast = lastSeen.agg(max(col("last_seen")).as("global_last"))
+    lastSeen.crossJoin(broadcast(globalLast))
       .withColumn("gap_s", col("global_last") - col("last_seen"))
       .where(col("gap_s") > gapSec)
       .drop("global_last")

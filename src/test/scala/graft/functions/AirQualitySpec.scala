@@ -8,25 +8,40 @@ class AirQualitySpec extends AnyFunSuite {
   private def idx(t: AirQuality.PiecewiseTable, v: Double): Double =
     TestSpark.spark.range(1).select(t.column(lit(v)).cast("double")).head.getDouble(0)
 
-  test("AQI pm2.5: EPA breakpoint anchors") {
+  // Expected values below were computed by hand-running the reference
+  // algorithm (AirQualityIndex.py AQI/LKI/CAQI) on each input.
+  test("AQI pm2.5: reference anchors (integer result, 0.999 denominators)") {
     assert(idx(AirQuality.aqiPm25, 0.0) == 0.0)
     assert(idx(AirQuality.aqiPm25, 12.0) == 50.0)
     assert(idx(AirQuality.aqiPm25, 35.4) == 100.0)
     assert(idx(AirQuality.aqiPm25, 55.4) == 150.0)
+    assert(idx(AirQuality.aqiPm25, 400.0) == 450.0) // top-band extrapolation
     assert(idx(AirQuality.aqiPm25, 9999.0) == 500.0) // capped
-    // interior interpolation: 9.0 -> 50/12*9 = 37.5
-    assert(math.abs(idx(AirQuality.aqiPm25, 9.0) - 37.5) < 1e-9)
+    // interior: round(50/(12.1*0.999)*9) = 37 (reference int rounding)
+    assert(idx(AirQuality.aqiPm25, 9.0) == 37.0)
   }
 
-  test("AQI pm10 anchors") {
-    assert(idx(AirQuality.aqiPm10, 54.0) == 50.0)
+  test("AQI pm10 reference anchors") {
+    assert(idx(AirQuality.aqiPm10, 54.0) == 49.0) // 50*54/54.945 rounded
     assert(idx(AirQuality.aqiPm10, 154.0) == 100.0)
   }
 
-  test("LKI pm2.5: RIVM anchors and interpolation") {
-    assert(idx(AirQuality.lkiPm25, 10.0) == 2.0)
-    assert(math.abs(idx(AirQuality.lkiPm25, 25.0) - 4.5) < 1e-9)
+  test("LKI pm2.5: reference anchors (segment i -> (i, i+1))") {
+    assert(idx(AirQuality.lkiPm25, 0.0) == 0.0)
+    assert(idx(AirQuality.lkiPm25, 10.0) == 1.0)
+    assert(math.abs(idx(AirQuality.lkiPm25, 25.0) - 3.501505) < 1e-5)
+    assert(math.abs(idx(AirQuality.lkiPm25, 95.0) - 8.505051) < 1e-5)
+    assert(idx(AirQuality.lkiPm25, 120.0) == 11.0) // extrapolated then capped
     assert(idx(AirQuality.lkiPm25, 500.0) == 11.0) // capped
+  }
+
+  test("CAQI pm10: (180,360) segment interpolates 100-125, cap 120") {
+    assert(idx(AirQuality.caqiPm10, 0.0) == 0.0)
+    assert(idx(AirQuality.caqiPm10, 25.0) == 25.0)
+    assert(idx(AirQuality.caqiPm10, 200.0) == 103.0)
+    assert(idx(AirQuality.caqiPm10, 270.0) == 112.0)
+    assert(idx(AirQuality.caqiPm10, 359.0) == 120.0) // reference caps at 120
+    assert(idx(AirQuality.caqiPm10, 500.0) == 120.0)
   }
 
   test("piecewise tables are monotone non-decreasing (seeded sweep)") {

@@ -27,8 +27,11 @@ class GeoFunctionsSpec extends AnyFunSuite {
   }
 
   test("geohash: known encoding round-trips") {
-    assert(GeoFunctions.geohashEncode(52.37, 4.89, 7) == "u173zmt")
-    val (lat, lon) = GeoFunctions.geohashDecode("u173zmt")
+    // Golden cross-checked against the canonical (57.64911, 10.40744) ->
+    // "u4pruydqqvj" example and an independent reimplementation.
+    assert(GeoFunctions.geohashEncode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    assert(GeoFunctions.geohashEncode(52.37, 4.89, 7) == "u173zm8")
+    val (lat, lon) = GeoFunctions.geohashDecode("u173zm8")
     assert(math.abs(lat - 52.37) < 0.01 && math.abs(lon - 4.89) < 0.01)
   }
 
