@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{AirQuality, Calibration, GeoFunctions}
+import graft.functions.{AirQuality, Calibration, GeoFunctions, TextFunctions}
 import graft.operators._
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -251,7 +251,73 @@ object SparkEntry {
           lit(52.0) + (col("user_id") % 10).cast("double") * 0.5,
           lit(4.0) + (col("user_id") % 20).cast("double") * 0.5,
           lit(52.37), lit(4.89)), 4).as("dist_km"))
-    })
+    }),
+
+    // ---- training-data-pipeline extension operators (SURVEY §7 step 8) ----
+
+    // Q25 — exact dedup by normalized content hash (U1 generalized). The
+    // corpus has no exact dups, so we union a mirrored copy to exercise
+    // group-size > 1 semantics.
+    "q25_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val all = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exact(all, col("doc_id"), col("text"))
+    }),
+
+    // Q26 — exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    "q26_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3, 0.5)),
+
+    // Q27 — MinHash(16) + LSH(4 bands × 4 rows) candidates, exact verify.
+    "q27_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3, 16, 4, 0.5)),
+
+    // Q28 — SimHash near-dup pairs, Hamming ≤ 3 via 4×8-bit block join.
+    "q28_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3)),
+
+    // Q29 — brute-force cosine top-k over embeddings (ANN baseline).
+    "q29_knn_cosine" -> ((s, d) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), 32, 5)),
+
+    // Q30 — signed-random-projection LSH ANN (planes = first 4 vectors).
+    "q30_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), 4, 32, 3)),
+
+    // Q31 — language-ID heuristic: argmax stopword-hit score across langs
+    // (struct-greatest; ties break by language code descending).
+    "q31_lang_id" -> ((s, d) => {
+      val langs = TextFunctions.stopwords.keys.toSeq.sorted
+      val best = greatest(langs.map(l => struct(
+        TextFunctions.langScore(col("text"), l).as("s"), lit(l).as("l"))): _*)
+      Tables.documents(s, d).select(col("doc_id"),
+        best.getField("l").as("pred_lang"), best.getField("s").as("score"))
+    }),
+
+    // Q32 — pretraining-data quality score (length/stopword/alpha mix).
+    "q32_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    // Q33 — token statistics: whitespace + BPE-ish regex token counts.
+    "q33_token_stats" -> ((s, d) => {
+      val tk = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(tk).as("n_ws"),
+        TextFunctions.bpeishCount(col("text")).as("n_bpe"),
+        length(col("text")).as("n_chars_m"),
+        round(length(concat_ws("", tk)).cast("double") / size(tk), 4)
+          .as("avg_tok_len"))
+    }),
+
+    // Q34 — bottom-k shingle-hash fingerprint (winnowing-style sketch).
+    "q34_fingerprint" -> ((s, d) =>
+      Dedup.fingerprint(Tables.documents(s, d), col("doc_id"), col("text"), 3, 8))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -453,6 +519,128 @@ object SparkEntry {
              ${AirQuality.aqhiSql("value", "(value/2)", "(value/4)")} AS aqhi_v,
              round($hav, 4) AS dist_km
           FROM events"""
+    },
+
+    "q25_dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_md5,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM all_docs GROUP BY 1""",
+
+    "q26_ngram_jaccard" -> {
+      val sh = TextFunctions.shinglesSql("text", 3)
+      s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
+          sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS n_inter
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+          j AS (SELECT d1, d2,
+                  round(n_inter / CAST(n1.n_sh + n2.n_sh - n_inter AS DOUBLE), 4) AS jac
+                FROM inter JOIN sizes n1 ON n1.id = d1 JOIN sizes n2 ON n2.id = d2)
+          SELECT d1, d2, jac FROM j WHERE jac >= 0.5"""
+    },
+
+    "q27_minhash_lsh" -> {
+      val sh = TextFunctions.shinglesSql("text", 3)
+      val mins = (0 until 16).map(j =>
+        s"min(${TextFunctions.minhashPermSql("h", j)}) AS m$j").mkString(", ")
+      val bandCase = (0 until 4).map(b =>
+        s"WHEN $b THEN concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
+        .mkString("CASE band ", " ", " END")
+      s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
+          h AS (SELECT id, ${TextFunctions.hash32Sql("s")} AS h FROM sh),
+          sig AS (SELECT id, $mins FROM h GROUP BY id),
+          banded AS (SELECT id, band, $bandCase AS bkey
+                     FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
+          cand AS (SELECT DISTINCT x.id AS d1, y.id AS d2 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+          sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          inter AS (SELECT c.d1, c.d2, count(*) AS n_inter FROM cand c
+                    JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.s = a.s
+                    GROUP BY 1, 2),
+          j AS (SELECT d1, d2,
+                  round(n_inter / CAST(n1.n_sh + n2.n_sh - n_inter AS DOUBLE), 4) AS jac
+                FROM inter JOIN sizes n1 ON n1.id = d1 JOIN sizes n2 ON n2.id = d2)
+          SELECT d1, d2, jac FROM j WHERE jac >= 0.5"""
+    },
+
+    "q28_simhash" -> {
+      val tk = TextFunctions.tokensSql("text")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest($tk) AS t FROM documents),
+          tc AS (SELECT id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+          th AS (SELECT id, cnt, ${TextFunctions.hash32Sql("t")} AS h FROM tc),
+          bits AS (SELECT id, b,
+                     sum(CASE WHEN (h >> b) % 2 = 1 THEN cnt ELSE -cnt END) AS vote
+                   FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY 1, 2),
+          sig AS (SELECT id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                                           ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY 1)
+          SELECT a.id AS d1, b.id AS d2,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+
+    "q29_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+                     WHERE vec_id < 32),
+          scored AS (SELECT q_id, c.vec_id AS n_id,
+                       ${Similarity.cosineSql("q_v", "c.embedding")} AS cos
+                     FROM embeddings c CROSS JOIN q WHERE c.vec_id != q_id)
+          SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+          WHERE rank <= 5""",
+
+    "q30_ann_lsh" ->
+      s"""WITH pl AS (SELECT vec_id AS p, embedding AS p_v FROM embeddings
+                      WHERE vec_id < 4),
+          bk AS (SELECT e.vec_id AS id, e.embedding AS v,
+                   CAST(sum(CASE WHEN ${Similarity.dotSql("e.embedding", "p_v")} >= 0
+                            THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM embeddings e CROSS JOIN pl GROUP BY 1, 2),
+          q AS (SELECT id AS q_id, v AS q_v, bucket AS q_bucket FROM bk
+                WHERE id < 32),
+          scored AS (SELECT q_id, c.id AS n_id,
+                       ${Similarity.cosineSql("q_v", "c.v")} AS cos
+                     FROM bk c JOIN q ON q_bucket = c.bucket AND q_id != c.id)
+          SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+          WHERE rank <= 3""",
+
+    "q31_lang_id" -> {
+      val branches = TextFunctions.stopwords.keys.toSeq.sorted.map(l =>
+        s"SELECT doc_id, '$l' AS l, ${TextFunctions.langScoreSql("text", l)} AS s FROM documents")
+        .mkString(" UNION ALL ")
+      s"""WITH sc AS ($branches)
+          SELECT doc_id, l AS pred_lang, s AS score FROM sc
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, l DESC) = 1"""
+    },
+
+    "q32_quality_score" ->
+      s"""SELECT doc_id, ${TextFunctions.qualityScoreSql("text")} AS quality
+          FROM documents""",
+
+    "q33_token_stats" -> {
+      val tk = TextFunctions.tokensSql("text")
+      s"""SELECT doc_id, len($tk) AS n_ws,
+                 ${TextFunctions.bpeishCountSql("text")} AS n_bpe,
+                 length(text) AS n_chars_m,
+                 round(length(array_to_string($tk, '')) / CAST(len($tk) AS DOUBLE), 4)
+                   AS avg_tok_len
+          FROM documents"""
+    },
+
+    "q34_fingerprint" -> {
+      val sh = TextFunctions.shinglesSql("text", 3)
+      s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
+          h AS (SELECT id, ${TextFunctions.hash60Sql("s")} AS h FROM sh)
+          SELECT id, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS fp_rank,
+                 h AS fp_hash FROM h
+          QUALIFY fp_rank <= 8"""
     }
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines: exact (hash
+  * group-by), n-gram Jaccard, MinHash+LSH banding, and SimHash with
+  * block-blocked Hamming search.
+  *
+  * Scale notes (100 TB): every method here is a pure shuffle-on-key plan —
+  * no driver-side collection, no broadcast of per-document state.
+  *   - exact: one shuffle on the 60-bit content hash.
+  *   - n-gram Jaccard: the shingle inverted index explodes ~|doc| rows per
+  *     document; the self-join shuffles on the shingle string. Hot
+  *     shingles (stopword trigrams) are the skew risk — production runs
+  *     should drop shingles with document frequency above a cap, which is
+  *     also statistically sound (ubiquitous shingles carry no signal).
+  *     AQE skew-join handles the remainder.
+  *   - MinHash/LSH replaces the quadratic verify set with banded
+  *     signatures: k min-hashes per doc (one shuffle), band keys, and a
+  *     bucket self-join whose fan-out is bounded by band collision rate.
+  *   - SimHash: one 64→32-bit signature per doc; candidate pairs come
+  *     from 4×8-bit block equality (pigeonhole: complete for Hamming ≤ 3),
+  *     so the join key is (block index, block value) — never a cross join.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: keeps the lowest id per
+    * group, reports the group size. Reference analogue: REPLACE INTO
+    * upsert on the UNIQUE datum key (MySQLdbSetup.sql:171) generalized to
+    * content identity. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = trim(regexp_replace(lower(text), " +", " "))
+    df.select(id.as("id"), md5(norm).as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** All document pairs with word n-gram Jaccard ≥ threshold, via a
+    * shingle inverted-index self-join (exact, no approximation). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jac", round(col("n_inter") /
+        (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** MinHash signatures: k column-wise minima of permuted shingle
+    * hashes. One row per doc, columns m0..m{k-1}. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        n: Int, k: Int): DataFrame = {
+    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+      .withColumn("h", hash32(col("s")))
+    sh.groupBy(col("id"))
+      .agg(min(minhashPerm(col("h"), 0)).as("m0"),
+        (1 until k).map(j => min(minhashPerm(col("h"), j)).as(s"m$j")): _*)
+  }
+
+  /** LSH-banded near-dup pairs: band the k signatures into `bands`
+    * groups of k/bands rows, bucket-join on (band, concatenated band
+    * signature), then verify candidates with the exact n-gram Jaccard.
+    * Candidate generation is O(collisions), not O(n²). */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      n: Int, k: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(df, id, text, n, k)
+    val banded = sig.select(col("id"), posexplode(array(
+      (0 until bands).map(b => concat_ws(",",
+        (0 until rows).map(r => col(s"m${b * rows + r}")): _*)): _*))
+      .as(Seq("band", "bkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2")).distinct()
+    // Exact verify on the candidate set only.
+    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("id").as("d2"), col("s").as("s2")), "d2")
+      .where(col("s") === col("s2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jac", round(col("n_inter") /
+        (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** 32-bit token-frequency-weighted SimHash per document. */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("id"), explode(tokens(text)).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash32(col("t")))
+    val bits = tok.select(col("id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(when(call_function("shiftright", col("h"), col("b").cast("int")) % 2 === 1,
+        col("cnt")).otherwise(-col("cnt"))).as("vote"))
+    bits.groupBy(col("id"))
+      .agg(sum(when(col("vote") > 0,
+        call_function("shiftleft", lit(1L), col("b").cast("int"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs with SimHash Hamming distance ≤ maxHam (≤ 3 for
+    * completeness under 4-block blocking). Join key is (block index,
+    * 8-bit block value) — linear candidate generation. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxHam: Int): DataFrame = {
+    require(maxHam <= 3, "4-block pigeonhole blocking is complete only for Hamming <= 3")
+    val sig = simhash(df, id, text)
+    val blocked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), 8 * i) % 256): _*)).as(Seq("blk", "bval")))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHam)
+  }
+
+  /** Bottom-k shingle-hash document fingerprint (a winnowing-style
+    * sketch): the k smallest 60-bit shingle hashes per doc, one row per
+    * (doc, rank). Equal sketches ⇒ near-identical content. */
+  def fingerprint(df: DataFrame, id: Column, text: Column,
+                  n: Int, k: Int): DataFrame = {
+    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+      .withColumn("h", hash60(col("s")))
+    val w = Window.partitionBy(col("id")).orderBy(col("h").asc)
+    sh.withColumn("fp_rank", row_number().over(w))
+      .where(col("fp_rank") <= k)
+      .select(col("id"), col("fp_rank"), col("h").as("fp_hash"))
+  }
+}

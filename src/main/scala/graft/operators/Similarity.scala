@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exactness baseline,
+  * plus a signed-random-projection LSH bucketed variant as the scale path.
+  *
+  * Precision contract: all dot products fold left over the array in
+  * element order with each float cast to double — the DuckDB oracle uses
+  * positional `unnest` with the same casts, which is bit-identical (the
+  * builtin `list_cosine_similarity` accumulates in float32 and drifts at
+  * 1e-8; we never use it).
+  *
+  * Scale notes (100 TB): brute force is O(Q·N) — kept for small query
+  * sets (broadcast the queries, scan the corpus once, per-partition
+  * top-k via window). The LSH path shuffles once on the bucket id; with
+  * P hyperplanes the expected bucket fan-out is N/2^P, so candidate
+  * verification is linear-ish. Hyperplanes are data-derived (the first P
+  * corpus vectors) so engine and oracle need no shared random state.
+  */
+object Similarity {
+
+  /** exact dot(a, b) with per-element double cast, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** DuckDB twin of [[dot]]: positional unnest of both lists, double
+    * products, ordered sum. */
+  def dotSql(a: String, b: String): String =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** Brute-force cosine top-k: for each query vector (id < nQueries),
+    * the k nearest corpus vectors (excluding itself), rank-ordered,
+    * cosine rounded to 4 decimals. */
+  def knnBruteForce(emb: DataFrame, id: Column, vec: Column,
+                    nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(id.as("id"), vec.as("v"))
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("v").as("q_v"))
+    val scored = base.as("c").join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** All pairs with cosine ≥ threshold — embedding near-dup detection.
+    * Exact (quadratic); at scale run [[lshBuckets]] first and verify
+    * within buckets only. */
+  def cosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+                         threshold: Double): DataFrame = {
+    val base = emb.select(id.as("id"), vec.as("v"))
+    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Signed-random-projection bucket id per vector: bit p = sign of the
+    * dot product against plane p, planes = the first P corpus vectors
+    * (deterministic, no shared RNG with the oracle). */
+  def lshBuckets(emb: DataFrame, id: Column, vec: Column,
+                 planes: Int): DataFrame = {
+    val base = emb.select(id.as("id"), vec.as("v"))
+    val pl = base.where(col("id") < planes)
+      .select(col("id").as("p"), col("v").as("p_v"))
+    base.join(broadcast(pl))
+      .groupBy(col("id"))
+      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
+        call_function("shiftleft", lit(1L), col("p").cast("int")))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: exact cosine top-k *within the query's bucket*.
+    * Same output shape as [[knnBruteForce]]; recall < 1 by design. */
+  def annLsh(emb: DataFrame, id: Column, vec: Column,
+             planes: Int, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(id.as("id"), vec.as("v"))
+    val bucketed = base.join(lshBuckets(emb, id, vec, planes), "id")
+    val q = bucketed.where(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("v").as("q_v"),
+        col("bucket").as("q_bucket"))
+    val scored = bucketed.as("c")
+      .join(broadcast(q),
+        col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog"), // exact dup of 1 (norm)
+    (4L, "completely different words appear here and nothing matches at all"),
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps lowest id") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 4) // 1&3 merge
+    val grp = out.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(grp.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .collect()
+    // (1,2) share 6 of 7+7 distinct trigrams → jac 6/8 = 0.75; (1,3) are
+    // identical after norm → jac 1.0.
+    val keys = pairs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(keys == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j13 = pairs.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 3L).get
+    assert(j13.getAs[Double]("jac") == 1.0)
+  }
+
+  test("minhash LSH pairs are a subset of exact pairs, same jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, j) => assert(exact(k) == j) }
+    // identical docs always collide in every band
+    assert(lsh.contains((1L, 3L)))
+  }
+
+  test("simhash is deterministic and identical docs get identical hashes") {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(3L))
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 32)))
+    val again = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig == again)
+  }
+
+  test("simhash pairs include the identical pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 3L)) == 0)
+  }
+
+  test("fingerprint: k smallest distinct shingle hashes, ranked") {
+    val fp = Dedup.fingerprint(docs, col("doc_id"), col("text"), 3, 4)
+      .where(col("id") === 1L).orderBy("fp_rank").collect()
+    assert(fp.length == 4)
+    val hs = fp.map(_.getAs[Long]("fp_hash"))
+    assert(hs.sorted.sameElements(hs) && hs.distinct.length == 4)
+  }
+}

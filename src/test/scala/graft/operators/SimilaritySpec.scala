@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical direction = 1, orthogonal = 0, opposite = -1") {
+    val out = emb.as("a").join(emb.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0L, 4L)) - 1.0) < 1e-12)
+    assert(math.abs(out((0L, 1L))) < 1e-12)
+    assert(math.abs(out((0L, 3L)) + 1.0) < 1e-12)
+    assert(math.abs(out((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("knn brute force: self excluded, ranked by cosine desc then id") {
+    val out = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 1, 4)
+      .orderBy("rank").collect()
+    // cos ordering from query 0: 4 (1.0), 2 (0.7071), 1 (0.0), 3 (-1.0)
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(4L, 2L, 1L, 3L))
+    assert(out.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("lsh buckets: same-direction vectors share a bucket") {
+    val b = Similarity.lshBuckets(emb, col("vec_id"), col("embedding"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(4L)) // colinear
+    assert(b.values.forall(v => v >= 0 && v < 4))
+  }
+
+  test("annLsh output is consistent with brute force on shared candidates") {
+    val ann = Similarity.annLsh(emb, col("vec_id"), col("embedding"), 2, 5, 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    ann.foreach { case (k, c) => assert(bf(k) == c) }
+  }
+}
