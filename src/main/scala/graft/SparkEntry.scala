@@ -317,7 +317,32 @@ object SparkEntry {
 
     // Q34 — bottom-k shingle-hash fingerprint (winnowing-style sketch).
     "q34_fingerprint" -> ((s, d) =>
-      Dedup.fingerprint(Tables.documents(s, d), col("doc_id"), col("text"), 3, 8))
+      Dedup.fingerprint(Tables.documents(s, d), col("doc_id"), col("text"), 3, 8)),
+
+    // Q35 — multimodal binary-column plumbing: blob + typed metadata,
+    // strided byte sampling ("frame sample") as codegen expressions.
+    "q35_multimodal" -> ((s, d) =>
+      Multimodal.byteFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("source")), 16)),
+
+    // Q36 — batch/stream parity (SURVEY §2.10 Q25): file-replayed
+    // Structured Streaming ingest through the upsert archive must equal
+    // the batch hourly aggregate (same oracle as q02).
+    "q36_stream_parity" -> ((s, d) => {
+      val archived = graft.streaming.Replay.replayEventsToArchive(s, d)
+      Resample.hourlyAvg(archived, col("ts"), col("value"))
+    }),
+
+    // Q37 — recursive Grubbs envelope per key (A4): no SQL oracle (the
+    // iterative test needs Student-t quantiles) → driver rows-only check;
+    // exactness is covered by GrubbsSpec against published t-table values.
+    "q37_grubbs" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(Grubbs.grubbs(col("value")).as("g"))
+        .select(col("user_id"), round(col("g.lo"), 4).as("lo"),
+          round(col("g.hi"), 4).as("hi"),
+          col("g.nKept").as("n_kept"), col("g.nRemoved").as("n_removed")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -641,6 +666,17 @@ object SparkEntry {
           SELECT id, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS fp_rank,
                  h AS fp_hash FROM h
           QUALIFY fp_rank <= 8"""
-    }
+    },
+
+    "q35_multimodal" ->
+      """SELECT doc_id AS media_id, 'application/x-' || source AS mime,
+                octet_length(encode(text)) AS n_bytes,
+                CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
+                  i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+                  AS sample_checksum,
+                (octet_length(encode(text)) // 64) + 1 AS n_frames
+         FROM documents""",
+
+    "q36_stream_parity" -> hourlyAggSql
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats
+
+/** Recursive Grubbs outlier test as a typed Spark [[Aggregator]] —
+  * SURVEY §2.5 A4/A5 (reference: statistics/grubbs.py:760-827 driver
+  * `Zscore :459-490`): per window, iteratively remove the most extreme
+  * value while its Grubbs statistic exceeds the critical threshold, then
+  * report the kept [min, max] envelope (the reference then invalidates
+  * rows outside it).
+  *
+  * The aggregate buffers the window's values (windows are bounded — a few
+  * thousand rows per kit-period — per SURVEY §4 note), so the iteration
+  * runs once per group on the reduced buffer: one shuffle, no driver
+  * loop, no recomputation per pass.
+  */
+object Grubbs {
+
+  case class Result(lo: Double, hi: Double, nKept: Int, nRemoved: Int)
+
+  /** Run the recursive test on a window's values. */
+  def test(values: Array[Double], alpha: Double, minN: Int): Result = {
+    val buf = scala.collection.mutable.ArrayBuffer(values.toSeq: _*)
+    var removed = 0
+    var continue = buf.length > minN
+    while (continue) {
+      val n = buf.length
+      val mean = buf.sum / n
+      val sd = math.sqrt(buf.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      if (sd == 0.0) continue = false
+      else {
+        var worst = 0
+        var worstDev = -1.0
+        var i = 0
+        while (i < n) {
+          val dev = math.abs(buf(i) - mean)
+          if (dev > worstDev) { worstDev = dev; worst = i }
+          i += 1
+        }
+        val g = worstDev / sd
+        if (g > Stats.grubbsCritical(n, alpha) && n - 1 >= minN) {
+          buf.remove(worst)
+          removed += 1
+        } else continue = false
+      }
+    }
+    if (buf.isEmpty) Result(Double.NaN, Double.NaN, 0, removed)
+    else Result(buf.min, buf.max, buf.length, removed)
+  }
+
+  /** Buffer wrapper: Encoders can't encode a bare List[Double]; a
+    * single-field product keeps the shuffle columnar (no kryo). */
+  case class ListWrap(xs: List[Double])
+
+  /** Column form: `grubbs(valueCol)` usable in `groupBy().agg(...)`.
+    * α=0.05 and min window 15 are the reference defaults
+    * (grubbs.py:229-232, FilterShow.py:450). */
+  def grubbs(value: Column, alpha: Double = 0.05, minN: Int = 15): Column =
+    udaf(new Agg(alpha, minN)).apply(value)
+
+  class Agg(alpha: Double, minN: Int)
+      extends Aggregator[Double, ListWrap, Result] {
+    def zero: ListWrap = ListWrap(Nil)
+    def reduce(b: ListWrap, a: Double): ListWrap = ListWrap(a :: b.xs)
+    def merge(b1: ListWrap, b2: ListWrap): ListWrap = ListWrap(b1.xs ::: b2.xs)
+    def finish(b: ListWrap): Result = test(b.xs.toArray, alpha, minN)
+    def bufferEncoder: Encoder[ListWrap] = Encoders.product[ListWrap]
+    def outputEncoder: Encoder[Result] = Encoders.product[Result]
+  }
+
+  /** Per-key Grubbs envelope + invalidation flags (the reference's
+    * `UPDATE … SET _valid=0 WHERE v < lo OR v > hi` step): returns the
+    * input rows with a `v_valid` tri-state — false outside the envelope,
+    * true inside, null when the group was too small to test. */
+  def invalidate(df: DataFrame, key: Column, value: Column,
+                 alpha: Double = 0.05, minN: Int = 15): DataFrame = {
+    val env = df.groupBy(key.as("__grubbs_key"))
+      .agg(grubbs(value, alpha, minN).as("g"))
+      .select(col("__grubbs_key"), col("g.lo").as("lo"), col("g.hi").as("hi"),
+        col("g.nKept").as("n_kept"), col("g.nRemoved").as("n_removed"))
+    df.join(env, key === col("__grubbs_key"))
+      .withColumn("v_valid",
+        when(col("n_kept") === 0, lit(null).cast("boolean"))
+          .otherwise(value.between(col("lo"), col("hi"))))
+      .drop("__grubbs_key")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Stats
+
+class GrubbsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Student-t inverse survival matches published table values") {
+    // Standard t-table entries (one-sided upper tail).
+    assert(math.abs(Stats.tIsf(0.025, 10) - 2.228139) < 1e-3)
+    assert(math.abs(Stats.tIsf(0.05, 5) - 2.015048) < 1e-3)
+    assert(math.abs(Stats.tIsf(0.005, 30) - 2.749996) < 1e-3)
+    assert(math.abs(Stats.tIsf(0.05, 1) - 6.313752) < 1e-3)
+  }
+
+  test("t survival function is consistent with its inverse") {
+    for (df <- Seq(3.0, 10.0, 50.0); q <- Seq(0.2, 0.05, 0.01, 0.001)) {
+      assert(math.abs(Stats.tSf(Stats.tIsf(q, df), df) - q) < 1e-9)
+    }
+  }
+
+  test("grubbs removes a planted outlier, keeps clean data") {
+    val clean = (1 to 30).map(i => 10.0 + (i % 7) * 0.1)
+    val planted = clean :+ 55.0
+    val r = Grubbs.test(planted.toArray, 0.05, 15)
+    assert(r.nRemoved == 1)
+    assert(r.hi <= 10.7)
+    val rClean = Grubbs.test(clean.toArray, 0.05, 15)
+    assert(rClean.nRemoved == 0)
+    assert(rClean.nKept == 30)
+  }
+
+  test("grubbs monotonicity: removing the extreme never widens the envelope") {
+    val vals = Array(1.0, 1.2, 0.9, 1.1, 1.0, 1.3, 0.8, 1.05, 0.95, 1.15,
+      1.0, 1.1, 0.9, 1.2, 1.0, 9.0, 12.0)
+    val r = Grubbs.test(vals, 0.05, 10)
+    assert(r.nRemoved >= 1)
+    assert(r.hi < 9.0)
+  }
+
+  test("small groups are left untested (NaN envelope)") {
+    val r = Grubbs.test(Array(1.0, 2.0, 100.0), 0.05, 15)
+    assert(r.nRemoved == 0 && r.nKept == 3)
+  }
+
+  test("aggregator column form works in groupBy and invalidate flags rows") {
+    val df = ((1 to 30).map(i => ("a", 10.0 + (i % 7) * 0.1)) :+ ("a", 99.0))
+      .toDF("k", "v")
+    val out = Grubbs.invalidate(df, col("k"), col("v"))
+    val flags = out.groupBy(col("v_valid")).count()
+      .collect().map(r => r.getAs[Boolean]("v_valid") -> r.getLong(1)).toMap
+    assert(flags(false) == 1L && flags(true) == 30L)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.KitState.KitEvent
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("archive upsert: last-write-wins on key, replay collapses") {
+    val dir = Files.createTempDirectory("graft_test_archive_").toString + "/t"
+    val b1 = Seq((1L, 10L, 1.0), (2L, 10L, 2.0)).toDF("id", "v", "x")
+    val b2 = Seq((2L, 20L, 2.5), (3L, 10L, 3.0)).toDF("id", "v", "x")
+    ArchiveSink.upsert(b1, dir, Seq("id"), "v")
+    ArchiveSink.upsert(b2, dir, Seq("id"), "v")
+    ArchiveSink.upsert(b2, dir, Seq("id"), "v") // exact replay: no change
+    val out = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1.0), (2L, 20L, 2.5), (3L, 10L, 3.0)))
+  }
+
+  test("archive upsert: incoming batch wins version ties") {
+    val dir = Files.createTempDirectory("graft_test_archive2_").toString + "/t"
+    ArchiveSink.upsert(Seq((1L, 10L, 1.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    ArchiveSink.upsert(Seq((1L, 10L, 9.9)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    assert(spark.read.parquet(dir).head().getDouble(2) == 9.9)
+  }
+
+  test("kit state machine: throttle, static run, geofence (batch mode)") {
+    // kit A: 100 s cadence < rate 480 → throttled after first interval.
+    val a = (0 until 5).map(i => KitEvent("A", 1000L + i * 100, i.toDouble, "u1hxyz00"))
+    // kit B: slow cadence, stuck value from event 3 on, moves location.
+    val b = Seq(
+      KitEvent("B", 1000L, 5.0, "u1hxyz00"),
+      KitEvent("B", 2000L, 5.1, "u1hxyz00"),
+      KitEvent("B", 3000L, 7.0, "u1hxyz00"),
+      KitEvent("B", 4000L, 7.0, "u1hxyz00"),
+      KitEvent("B", 5000L, 7.0, "u1hwxyz0"))
+    val ds = (a ++ b).toDS()
+    val out = KitState(ds.groupByKey(_.kit), rateS = 480L,
+        staticThreshold = 3, geoPrefix = 6)
+      .collect().groupBy(_.kit)
+
+    val outA = out("A").sortBy(_.ts)
+    assert(outA.head.accepted) // first telegram always accepted
+    assert(outA.drop(1).forall(o => !o.accepted && o.reason == "throttle"))
+
+    val outB = out("B").sortBy(_.ts)
+    assert(outB.take(4).forall(_.accepted))
+    val last = outB.last
+    assert(!last.accepted && last.reason == "static" && last.staticRun == 3)
+    assert(last.moved && outB.take(4).forall(!_.moved))
+  }
+
+  test("kit state machine runs as a real stream with identical output") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KitEvent]
+    val q = KitState(mem.toDS().groupByKey(_.kit), rateS = 480L,
+        staticThreshold = 3, geoPrefix = 6)
+      .writeStream.format("memory").queryName("kit_out")
+      .outputMode("append").start()
+    mem.addData(KitEvent("A", 1000L, 1.0, "u1hxyz00"),
+      KitEvent("A", 1100L, 2.0, "u1hxyz00"))
+    q.processAllAvailable()
+    mem.addData(KitEvent("A", 1200L, 3.0, "u1hxyz00"))
+    q.processAllAvailable()
+    val rows = spark.table("kit_out").as[KitState.Output]
+      .collect().sortBy(_.ts)
+    q.stop()
+    assert(rows.length == 3)
+    assert(rows.head.accepted)
+    // 100 s cadence < 480 s rate: throttled from the 2nd telegram on,
+    // state carried across micro-batches.
+    assert(rows.drop(1).forall(o => !o.accepted && o.reason == "throttle"))
+  }
+
+  test("multimodal decode stub: typed mapPartitions round-trip") {
+    import graft.operators.Multimodal
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRecord(2L, "image/png", Array.fill[Byte](300)(7))
+    ).toDS()
+    val dec = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(dec.length == 2)
+    assert(dec(0).brightness == 2.5) // (1+2+3+4)/4
+    assert(dec(1).n_frames == 2)     // 300 bytes / 256 + 1
+    // determinism
+    val again = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(dec.toSeq == again.toSeq)
+  }
+}
