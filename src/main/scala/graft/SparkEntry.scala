@@ -342,7 +342,22 @@ object SparkEntry {
         .agg(Grubbs.grubbs(col("value")).as("g"))
         .select(col("user_id"), round(col("g.lo"), 4).as("lo"),
           round(col("g.hi"), 4).as("hi"),
-          col("g.nKept").as("n_kept"), col("g.nRemoved").as("n_removed")))
+          col("g.nKept").as("n_kept"), col("g.nRemoved").as("n_removed"))),
+
+    // Q38 — LoRa rule-codec round-trip (D2): encode events as port-12
+    // weerDIY1 frames, decode back; the result equals the firmware
+    // quantization trunc(v·scale+0.5)/scale, which the oracle states in
+    // plain SQL. Proves encoder and decoder agree byte-for-byte.
+    "q38_lora_roundtrip" -> ((s, d) => {
+      val temp = least(greatest(col("value"), lit(-3276.0)), lit(3276.0))
+      val rv = (col("user_id") % 101).cast("double")
+      val press = (col("event_id") % 1100).cast("double")
+      val rt = graft.ingest.LoRaPipeline.roundTripBme280(temp, rv, press)
+      Tables.events(s, d).select(col("event_id"),
+        rt.getField("_1").as("rt_temp"),
+        rt.getField("_2").as("rt_rv"),
+        rt.getField("_3").as("rt_press"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -677,6 +692,16 @@ object SparkEntry {
                 (octet_length(encode(text)) // 64) + 1 AS n_frames
          FROM documents""",
 
-    "q36_stream_parity" -> hourlyAggSql
+    "q36_stream_parity" -> hourlyAggSql,
+
+    "q38_lora_roundtrip" ->
+      // trunc(): Scala's .toLong and the reference's int() truncate toward
+      // zero; DuckDB CAST would round — trunc matches.
+      """SELECT event_id,
+                trunc(least(greatest(value, -3276.0), 3276.0) * 10 + 0.5) / 10
+                  AS rt_temp,
+                CAST(user_id % 101 AS DOUBLE) AS rt_rv,
+                CAST(trunc((event_id % 1100) + 0.5) AS DOUBLE) AS rt_press
+         FROM events"""
   )
 }

@@ -1,0 +1,164 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Golden replay tests: every fixture record with embedded
+  * `payload_fields` (produced by the reference's TTN-side JS decoder)
+  * must decode to exactly those fields. Fixtures are read from the
+  * read-only reference checkout; suites cancel gracefully if it is
+  * absent (e.g. packaged CI). */
+class LoRaDecodeSpec extends AnyFunSuite {
+
+  private val fixtureDir = "/root/reference/MyDatacollector/inputtests"
+
+  private def fixtureLines(name: String): Seq[String] = {
+    val p = Paths.get(fixtureDir, name)
+    assume(Files.exists(p), s"reference fixtures not present: $p")
+    Files.readAllLines(p).asScala.toSeq.filter(_.contains("payload_fields"))
+  }
+
+  /** Minimal JSON digging (fixtures are one-line JSON): extract the
+    * payload_raw string and the payload_fields object source. */
+  private def extract(line: String): (Int, Array[Byte], Map[String, String]) = {
+    val json = line.substring(line.indexOf(' ') + 1)
+    def strField(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse(sys.error(s"no $k in $line"))
+    }
+    val port = ("\"port\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).get.group(1).toInt
+    val payload = Base64.getDecoder.decode(strField("payload_raw"))
+    // payload_fields: flat object of k: scalar — parse naively.
+    val pf = ("\"payload_fields\"\\s*:\\s*\\{(.*?)\\}\\s*,\\s*\"metadata\"").r
+      .findFirstMatchIn(json).get.group(1)
+    val fields = ("\"([A-Za-z0-9_]+)\"\\s*:\\s*(\"[^\"]*\"|[-0-9.eE]+)").r
+      .findAllMatchIn(pf)
+      .map(m => m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\""))
+      .toMap
+    (port, payload, fields)
+  }
+
+  private def checkFlatGoldens(file: String): Unit = {
+    val lines = fixtureLines(file)
+    assert(lines.nonEmpty)
+    // meta (port 3) records inside measurement fixtures are covered by
+    // the dedicated P3 test
+    lines.map(extract).filter(_._1 != 3).foreach { case (port, payload, golden) =>
+      val decoded = LoRaDecode.decodeFlat(payload, port)
+      val goldenNums = golden.collect {
+        case (k, v) if k != "TTNversion" && scala.util.Try(v.toDouble).isSuccess =>
+          k -> v.toDouble
+      }
+      goldenNums.foreach { case (k, v) =>
+        assert(decoded.contains(k), s"$file port $port: missing $k (got $decoded)")
+        assert(decoded(k) == v, s"$file port $port $k: got ${decoded(k)} want $v")
+      }
+      assert(decoded.keySet == goldenNums.keySet,
+        s"$file port $port: extra fields ${decoded.keySet -- goldenNums.keySet}")
+    }
+  }
+
+  test("port 2 fixtures decode to embedded payload_fields")(checkFlatGoldens("inputtestP2.mqtt"))
+  test("port 4 fixtures decode to embedded payload_fields")(checkFlatGoldens("inputtestP4.mqtt"))
+
+  test("port 3 meta fixtures decode to embedded payload_fields") {
+    fixtureLines("inputtestP3.mqtt").foreach { line =>
+      val (port, payload, golden) = extract(line)
+      assert(port == 3)
+      val meta = LoRaDecode.decodeMeta(payload)
+      golden.foreach {
+        case ("dust", v) => assert(meta.tags("dust") == v)
+        case ("meteo", v) => assert(meta.tags("meteo") == v)
+        case (k, v) if scala.util.Try(v.toDouble).isSuccess =>
+          assert(meta.nums(k) == v.toDouble, s"meta $k: got ${meta.nums.get(k)} want $v")
+        case _ =>
+      }
+    }
+  }
+
+  test("TTNMQTTexample MySense records (port 2, 0x80-typed) decode to goldens") {
+    val p = Paths.get("/root/reference/testdata/TTNMQTTexample.json")
+    assume(Files.exists(p))
+    val lines = Files.readAllLines(p).asScala.toSeq
+      .filter(l => l.contains("payload_fields") && l.contains("\"port\":2"))
+      // Only MySense-node payloads (leading type byte 0x80 set) — the
+      // other apps in this dump (pmsensors, temp nodes) used their own
+      // TTN decoders whose layouts are not part of MySense.
+      .filter { l =>
+        val (_, payload, _) = extract(l)
+        (payload(0) & 0x80) != 0
+      }
+    lines.foreach { line =>
+      val (port, payload, golden) = extract(line)
+      val decoded = LoRaDecode.decodeFlat(payload, port)
+      golden.foreach { case (k, v) =>
+        if (k != "TTNversion" && scala.util.Try(v.toDouble).isSuccess)
+          assert(decoded(k) == v.toDouble, s"$k: got ${decoded.get(k)} want $v")
+      }
+    }
+  }
+
+  test("port 12 rule codec: encode/decode round-trip incl. NaN sentinels") {
+    val readings = Seq(
+      1 -> Seq(Some(17.1), Some(69.0), Some(1030.0)),      // BME280
+      21 -> Seq(Some(0.0), Some(0.0)),                     // Argent
+      19 -> Seq(Some(5.123456), Some(61.123456), None))    // NEO-6, alt NaN
+    val bytes = LoRaDecode.RuleCodec.encode(0.0, readings)
+    val (ver, data, tags) = LoRaDecode.RuleCodec.decode(bytes)
+    assert(ver == 0.0)
+    assert(data("BME280") == Map("temp" -> Some(17.1), "rv" -> Some(69.0),
+      "luchtdruk" -> Some(1030.0)))
+    assert(data("Argent") == Map("wr" -> Some(0.0), "ws" -> Some(0.0)))
+    // lat/lon collapse into a precision-11 geohash tag; alt was NaN.
+    assert(data("NEO-6") == Map("alt" -> None))
+    assert(tags("NEO-6").length == 11)
+    val (lat, lon) = graft.functions.GeoFunctions.geohashDecode(tags("NEO-6"))
+    assert(math.abs(lat - 61.123456) < 1e-4 && math.abs(lon - 5.123456) < 1e-4)
+  }
+
+  test("negative temperature survives the signed-short rule path") {
+    val bytes = LoRaDecode.RuleCodec.encode(1.2, Seq(3 -> Seq(Some(-7.5), Some(55.0))))
+    val (ver, data, _) = LoRaDecode.RuleCodec.decode(bytes)
+    assert(ver == 1.2)
+    assert(data("SHT31")("temp") == Some(-7.5) || data("SHT31")("temp") == Some(-7.4))
+  }
+
+  test("TTN envelope parse: V2 fixture lines yield ids, payload, best gateway") {
+    val spark = TestSpark.spark
+    val p = Paths.get(fixtureDir, "inputtestP4.mqtt")
+    assume(Files.exists(p))
+    val df = spark.read.text(p.toString)
+    val env = TtnEnvelope.parse(df, col("value"))
+    val rows = env.collect()
+    assert(rows.length >= 2)
+    val r = rows.head
+    assert(r.getAs[String]("app_id") == "201802215971az")
+    assert(r.getAs[Int]("port") == 4)
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+    assert(r.getAs[String]("best_gateway") != null)
+    // single-gateway record: best score == 10*snr + 0.2*rssi of that gw
+    val gws = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("gateways")
+    if (gws.length == 1)
+      assert(math.abs(r.getAs[Double]("best_score") -
+        (gws.head.getAs[Double]("snr") * 10 + gws.head.getAs[Double]("rssi") * 0.2)) < 0.01)
+  }
+
+  test("TTN envelope parse: V3 shape") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v3 = """v3/app1@ttn/devices/dev1/up {"end_device_ids":{"device_id":"dev1","application_ids":{"application_id":"app1"}},"received_at":"2021-08-20T12:00:00Z","uplink_message":{"f_port":12,"f_cnt":7,"frm_payload":"AAEAqwKyBAY=","rx_metadata":[{"gateway_ids":{"gateway_id":"gw1"},"rssi":-100,"snr":5.5}]}}"""
+    val env = TtnEnvelope.parse(Seq(v3).toDF("value"), col("value")).head()
+    assert(env.getAs[String]("app_id") == "app1")
+    assert(env.getAs[String]("dev_id") == "dev1")
+    assert(env.getAs[Int]("port") == 12)
+    assert(env.getAs[Long]("counter") == 7L)
+    assert(env.getAs[String]("best_gateway") == "gw1")
+  }
+}
