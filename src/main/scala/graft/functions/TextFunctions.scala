@@ -55,15 +55,25 @@ object TextFunctions {
   def tokensSql(e: String): String =
     s"string_split(trim(regexp_replace(lower($e), ' +', ' ', 'g')), ' ')"
 
-  /** Distinct word n-gram shingles; empty array when the doc is shorter
-    * than n tokens (guards `sequence`'s descending-range behavior). */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokens(text)
+  /** Shingles from an already-materialized token array column. `tk` MUST
+    * be a plain column attribute, not a computed expression: expressions
+    * referenced inside the `transform` lambda are re-evaluated per
+    * element, so an inline `split(regexp_replace(...))` here costs
+    * O(shingles × tokenize) per document — it tripled the bench before
+    * the pipelines switched to tokenize-then-shingle (see
+    * [[graft.operators.Dedup.shingleRows]]). */
+  def shinglesOfTokens(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       array_distinct(transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(tk, (i + j + 1).cast("int"))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-gram shingles; empty array when the doc is shorter
+    * than n tokens (guards `sequence`'s descending-range behavior).
+    * Convenience form — for per-row pipelines prefer materializing
+    * [[tokens]] first and calling [[shinglesOfTokens]] (see its note). */
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
 
   def shinglesSql(e: String, n: Int): String = {
     val tk = tokensSql(e)

@@ -39,11 +39,19 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** One (id, shingle) row per distinct shingle, tokenizing ONCE per
+    * document before shingling (see TextFunctions.shinglesOfTokens on
+    * why the two-step select matters). */
+  private def shingleRows(df: DataFrame, id: Column, text: Column,
+                          n: Int): DataFrame =
+    df.select(id.as("id"), tokens(text).as("__tk"))
+      .select(col("id"), explode(shinglesOfTokens(col("__tk"), n)).as("s"))
+
   /** All document pairs with word n-gram Jaccard ≥ threshold, via a
     * shingle inverted-index self-join (exact, no approximation). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sh = shingleRows(df, id, text, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -62,7 +70,7 @@ object Dedup {
     * hashes. One row per doc, columns m0..m{k-1}. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         n: Int, k: Int): DataFrame = {
-    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sh = shingleRows(df, id, text, n)
       .withColumn("h", hash32(col("s")))
     sh.groupBy(col("id"))
       .agg(min(minhashPerm(col("h"), 0)).as("m0"),
@@ -87,7 +95,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2")).distinct()
     // Exact verify on the candidate set only.
-    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sh = shingleRows(df, id, text, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     cand
       .join(sh.select(col("id").as("d1"), col("s")), "d1")
@@ -102,19 +110,25 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** 32-bit token-frequency-weighted SimHash per document. */
+  /** 32-bit token-frequency-weighted SimHash per document.
+    *
+    * The 32 bit-votes are 32 aggregate columns over the (id, token)
+    * frame — map-side combined, no 32× row explosion (an earlier explode
+    * formulation amplified the shuffle 32-fold and dominated the bench).
+    */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("id"), explode(tokens(text)).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash32(col("t")))
-    val bits = tok.select(col("id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(when(call_function("shiftright", col("h"), col("b").cast("int")) % 2 === 1,
-        col("cnt")).otherwise(-col("cnt"))).as("vote"))
-    bits.groupBy(col("id"))
-      .agg(sum(when(col("vote") > 0,
-        call_function("shiftleft", lit(1L), col("b").cast("int"))).otherwise(0L)).as("simhash"))
+    def vote(b: Int): Column =
+      sum(when(call_function("shiftright", col("h"), lit(b)) % 2 === 1,
+        col("cnt")).otherwise(-col("cnt")))
+    val votes = tok.groupBy(col("id"))
+      .agg(vote(0).as("v0"), (1 until 32).map(b => vote(b).as(s"v$b")): _*)
+    votes.select(col("id"),
+      (0 until 32).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs with SimHash Hamming distance ≤ maxHam (≤ 3 for
@@ -141,7 +155,7 @@ object Dedup {
     * (doc, rank). Equal sketches ⇒ near-identical content. */
   def fingerprint(df: DataFrame, id: Column, text: Column,
                   n: Int, k: Int): DataFrame = {
-    val sh = df.select(id.as("id"), explode(shingles(text, n)).as("s"))
+    val sh = shingleRows(df, id, text, n)
       .withColumn("h", hash60(col("s")))
     val w = Window.partitionBy(col("id")).orderBy(col("h").asc)
     sh.withColumn("fp_rank", row_number().over(w))
