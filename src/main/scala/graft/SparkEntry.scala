@@ -357,6 +357,140 @@ object SparkEntry {
         rt.getField("_1").as("rt_temp"),
         rt.getField("_2").as("rt_rv"),
         rt.getField("_3").as("rt_press"))
+    }),
+
+    // Q39 — borrow-from-neighbour gap fill (J5, Get_data.pl:1117-1159
+    // findElsewhere): a primary station's missing hour is taken from the
+    // first neighbour (priority order) that has the hour.
+    "q39_borrow_neighbour" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), eS(date_trunc("hour", col("ts"))).as("hour_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val p = hourly.where(col("user_id") < 50)
+        .withColumn("v_self", // deterministic gap injection
+          when((col("user_id") + col("hour_ts") / 3600) % 5 === 0, lit(null))
+            .otherwise(col("v")))
+      val n1 = hourly.select((col("user_id") - 50).as("u1"),
+        col("hour_ts").as("h1"), col("v").as("v_n1"))
+      val n2 = hourly.select((col("user_id") - 100).as("u2"),
+        col("hour_ts").as("h2"), col("v").as("v_n2"))
+      p.join(n1, col("user_id") === col("u1") && col("hour_ts") === col("h1"), "left")
+        .join(n2, col("user_id") === col("u2") && col("hour_ts") === col("h2"), "left")
+        .select(col("user_id"), col("hour_ts"),
+          coalesce(col("v_self"), col("v_n1"), col("v_n2")).as("filled"),
+          when(col("v_self").isNotNull, "self")
+            .when(col("v_n1").isNotNull, "n1")
+            .when(col("v_n2").isNotNull, "n2").as("src"))
+    }),
+
+    // Q40 — IQR-trimmed mean per key (A7, RPi/MyThreading.py:122-175:
+    // keep [Q1−1.5·IQR, Q1+1.5·IQR] — the reference's asymmetric upper
+    // bound uses Q1, not Q3).
+    "q40_iqr_trimmed" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val q = e.groupBy(col("user_id").as("__k")).agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      // Bounds widened by 1e-6: source values sit on a 0.01 grid and the
+      // interpolated bounds on a 0.0025 grid, so a value can lie EXACTLY
+      // on a bound — where a 1-ulp engine difference in the quantile
+      // flips membership. The epsilon is >> ulp noise and << the grid.
+      e.join(q, col("user_id") === col("__k"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5 - 1e-6)
+        .withColumn("hi", col("q1") + (col("q3") - col("q1")) * 1.5 + 1e-6)
+        .groupBy(col("user_id"))
+        // SUM, not mean: the mean of 2-decimal values lands on exact
+        // 4-decimal halves (e.g. 2148.37/56 = 38.36375) where engine
+        // summation order decides the rounding — irreducibly unstable.
+        // The sum of 2-decimal values never sits on a 4-decimal half;
+        // consumers derive the mean as trimmed_sum / n_kept.
+        .agg(sum(when(col("value").between(col("lo"), col("hi")),
+          col("value"))).as("trimmed_sum"),
+          count(when(col("value").between(col("lo"), col("hi")), 1)).as("n_kept"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // Q41 — Gaussian-kernel weighted moving average (A14,
+    // grubbs.py:1039-1075): ±2-row kernel, edge-normalized.
+    "q41_kernel_smooth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val weights = Seq(-2, -1, 0, 1, 2)
+        .map(i => i -> math.exp(-i * i / 2.0))
+      val num = weights.map { case (i, wt) =>
+        when(lag(col("value"), i).over(w).isNotNull,
+          lag(col("value"), i).over(w) * wt).otherwise(0.0) }.reduce(_ + _)
+      val den = weights.map { case (i, wt) =>
+        when(lag(col("value"), i).over(w).isNotNull, wt).otherwise(0.0) }.reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), (num / den).as("smoothed"))
+    }),
+
+    // Q42 — scalar library II: Taylor/Horner calibration + PM clamp (F1),
+    // Joost and RIVM humidity corrections (F13/F14), µg/m³→ppb (F3),
+    // Pa→hPa, the +1 h pre-epoch-1515547638 tz repair (F16), lossy
+    // address normalization (F17), per-field rounding (F18).
+    "q42_scalar_lib2" -> ((s, d) => {
+      val temp = col("value") / 10
+      val rh = (col("user_id") % 101).cast("double")
+      val pm = col("value") / 5
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(Calibration.taylor(pm, Seq(-2.163, 1.308)), 4).as("cal_lin"),
+        round(Calibration.taylorPm(pm, Seq(-20.0, 0.5)), 4).as("cal_pm_clamped"),
+        round(Calibration.joostPm25(pm, rh / 100), 4).as("joost25"),
+        round(Calibration.rivmRhCorrection(pm, rh), 4).as("rivm_pm"),
+        round(Calibration.ugm3ToPpb(pm, "no2", temp, lit(1013.25)), 4).as("no2_ppb"),
+        Calibration.paToHPa(col("value") * 100).as("hpa"),
+        Calibration.tzRepair(eS(col("ts"))).as("ts_repaired"),
+        lower(regexp_replace(regexp_replace(col("props"), "\\s+", " "),
+          "straat", "str")).as("addr_norm"),
+        // F18 per-field decimals: Spark round() needs a foldable scale, so
+        // the dimension lookup becomes a branch per distinct scale.
+        when(col("event_type") === "click", round(col("value"), 1))
+          .otherwise(round(col("value"), 3)).as("v_rounded"))
+    }),
+
+    // Q43 — field-presence census (A15, ReportFailingSensors.sh:527-539):
+    // non-null count per column, melted to (field, n_nonnull).
+    "q43_presence_census" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("masked_props",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("props")))
+      val cols = Seq("event_id", "user_id", "value", "masked_props")
+      e.agg(count(col(cols.head)).as(cols.head),
+          cols.tail.map(c => count(col(c)).as(c)): _*)
+        .unpivot(Array.empty[Column],
+          cols.map(col).toArray, "field", "n_nonnull")
+    }),
+
+    // Q44 — per-year normalisation factor (F15, Get_data.pl:953-1020):
+    // factor dimension keyed by year, multiply-through, re-aggregate.
+    "q44_year_norm" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("y", year(col("o_orderdate")))
+      val factors = o.select(col("y")).distinct()
+        .withColumn("f", lit(1.0) + (col("y") % 3) * 0.05)
+      o.join(broadcast(factors), "y")
+        .groupBy(col("y"))
+        .agg(round(sum(col("o_totalprice") * col("f")), 2).as("norm_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Q45 — in-repair invalidation + PM-zero repair (P10
+    // FilterShow.py:400-415, D6 MyDatacollector.py:845-852): tri-state
+    // _valid (true/false/null-in-repair) and the 0.013 NaN-compression
+    // repair for masked PM with a positive particle count.
+    "q45_repair_invalidate" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("pm", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("value")))
+        .withColumn("cnt", (col("event_id") % 3).cast("int"))
+      val inRepair = (col("user_id") % 4 === 0) &&
+        dayofmonth(col("ts")).between(10, 12)
+      e.select(col("event_id"),
+        when(inRepair, lit(null).cast("boolean"))
+          .otherwise(col("pm").isNotNull && col("pm") > 0).as("pm_valid"),
+        when(col("pm").isNull && col("cnt") > 0, 0.013)
+          .otherwise(col("pm")).as("pm_repaired"))
     })
   )
 
@@ -702,6 +836,107 @@ object SparkEntry {
                   AS rt_temp,
                 CAST(user_id % 101 AS DOUBLE) AS rt_rv,
                 CAST(trunc((event_id % 1100) + 0.5) AS DOUBLE) AS rt_press
-         FROM events"""
+         FROM events""",
+
+    "q39_borrow_neighbour" ->
+      """WITH hourly AS (SELECT user_id,
+              epoch_us(date_trunc('hour', ts))//1000000 AS hour_ts,
+              round(avg(value),4) AS v FROM events GROUP BY 1, 2),
+          p AS (SELECT user_id, hour_ts,
+              CASE WHEN (user_id + hour_ts/3600) % 5 = 0 THEN NULL ELSE v END AS v_self
+              FROM hourly WHERE user_id < 50)
+          SELECT p.user_id, p.hour_ts,
+                 coalesce(p.v_self, n1.v, n2.v) AS filled,
+                 CASE WHEN p.v_self IS NOT NULL THEN 'self'
+                      WHEN n1.v IS NOT NULL THEN 'n1'
+                      WHEN n2.v IS NOT NULL THEN 'n2' END AS src
+          FROM p
+          LEFT JOIN hourly n1 ON n1.user_id = p.user_id + 50 AND n1.hour_ts = p.hour_ts
+          LEFT JOIN hourly n2 ON n2.user_id = p.user_id + 100 AND n2.hour_ts = p.hour_ts""",
+
+    "q40_iqr_trimmed" ->
+      """WITH q AS (SELECT user_id AS k,
+              quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY 1),
+          j AS (SELECT user_id, value,
+              q1 - (q3 - q1) * 1.5 - 1e-6 AS lo, q1 + (q3 - q1) * 1.5 + 1e-6 AS hi
+              FROM events JOIN q ON user_id = k)
+          SELECT user_id,
+                 sum(CASE WHEN value BETWEEN lo AND hi THEN value END)
+                   AS trimmed_sum,
+                 count(CASE WHEN value BETWEEN lo AND hi THEN 1 END) AS n_kept,
+                 count(*) AS n_total
+          FROM j GROUP BY user_id""",
+
+    "q41_kernel_smooth" -> {
+      // Weights emitted from the SAME Scala doubles as the Spark plan —
+      // a SQL-side exp() could differ in the last ulp.
+      val weights = Seq(-2, -1, 0, 1, 2).map(i => i -> math.exp(-i * i / 2.0))
+      def lagSql(i: Int) =
+        if (i < 0) s"lead(value, ${-i}) OVER w"
+        else if (i > 0) s"lag(value, $i) OVER w"
+        else "value"
+      val num = weights.map { case (i, wt) =>
+        s"(CASE WHEN ${lagSql(i)} IS NOT NULL THEN ${lagSql(i)} * $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = weights.map { case (i, wt) =>
+        s"(CASE WHEN ${lagSql(i)} IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, ($num) / ($den) AS smoothed
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    },
+
+    "q42_scalar_lib2" -> {
+      val temp = "(value/10)"
+      val rh = "CAST(user_id % 101 AS DOUBLE)"
+      val pm = "(value/5)"
+      // Horner order mirrors Calibration.taylor: ((0·x + a_n)·x + …) + a0
+      val lin = s"((0.0 * $pm + 1.308) * $pm + -2.163)"
+      val pmClamped = s"greatest(((0.0 * $pm + 0.5) * $pm + -20.0), 0.01)"
+      val rhJ = s"least(greatest($rh/100, 0.0), 100.0)"
+      val fJ = s"(3.9 * pow($rhJ, -0.409))"
+      val rhC = s"least(greatest($rh, 1.0), 99.0)"
+      s"""SELECT event_id,
+             round($lin, 4) AS cal_lin,
+             round($pmClamped, 4) AS cal_pm_clamped,
+             round(CASE WHEN $fJ BETWEEN 0.0 AND 1.0 THEN $pm * $fJ END, 4) AS joost25,
+             round($pm * 4.65 * pow(100.0 - $rhC, -0.65), 4) AS rivm_pm,
+             round($pm * ((273.15 + $temp) / 12.187) * (1013.25/1013.25) / 46.0055, 4)
+               AS no2_ppb,
+             (value * 100) * 0.01 AS hpa,
+             CASE WHEN epoch_us(ts)//1000000 <= 1515547638
+                  THEN epoch_us(ts)//1000000 + 3600
+                  ELSE epoch_us(ts)//1000000 END AS ts_repaired,
+             lower(regexp_replace(regexp_replace(props, '\\s+', ' ', 'g'),
+               'straat', 'str', 'g')) AS addr_norm,
+             round(value, CASE WHEN event_type = 'click' THEN 1 ELSE 3 END)
+               AS v_rounded
+          FROM events"""
+    },
+
+    "q43_presence_census" ->
+      """SELECT 'event_id' AS field, count(event_id) AS n_nonnull FROM events
+         UNION ALL SELECT 'user_id', count(user_id) FROM events
+         UNION ALL SELECT 'value', count(value) FROM events
+         UNION ALL SELECT 'masked_props',
+           count(CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END) FROM events""",
+
+    "q44_year_norm" ->
+      """WITH o AS (SELECT year(o_orderdate) AS y, o_totalprice FROM orders),
+          f AS (SELECT DISTINCT y, 1.0 + (y % 3) * 0.05 AS f FROM o)
+          SELECT y, round(sum(o_totalprice * f),2) AS norm_revenue,
+                 count(*) AS n
+          FROM o JOIN f USING (y) GROUP BY y""",
+
+    "q45_repair_invalidate" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+              CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS pm,
+              CAST(event_id % 3 AS INT) AS cnt FROM events)
+         SELECT event_id,
+                CASE WHEN user_id % 4 = 0 AND day(ts) BETWEEN 10 AND 12 THEN NULL
+                     ELSE (pm IS NOT NULL AND pm > 0) END AS pm_valid,
+                CASE WHEN pm IS NULL AND cnt > 0 THEN 0.013 ELSE pm END AS pm_repaired
+         FROM t"""
   )
 }
