@@ -491,7 +491,41 @@ object SparkEntry {
           .otherwise(col("pm").isNotNull && col("pm") > 0).as("pm_valid"),
         when(col("pm").isNull && col("cnt") > 0, 0.013)
           .otherwise(col("pm")).as("pm_repaired"))
-    })
+    }),
+
+    // Q46 — embedding-cosine near-dup pairs, blocked by label (the
+    // cluster id stands in for an LSH block): exact cosine within blocks.
+    "q46_cosine_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("label"), col("vec_id").as("id"),
+        col("embedding").as("v"), Similarity.norm2(col("embedding")).as("n2"))
+      base.as("a").join(base.as("b"),
+          col("a.label") === col("b.label") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          (Similarity.dot(col("a.v"), col("b.v")) /
+            sqrt(col("a.n2") * col("b.n2"))).as("cos"))
+        .where(col("cos") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // Q47 — two-feature OLS summary per event_type (A9): params, R² and
+    // t-values via the covariance normal equations, one aggregate pass.
+    "q47_multi_ols" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("x1", (eUs(col("ts")) / 1e6 - 1704067200L) / 86400)
+        .withColumn("x2", (col("user_id") % 101).cast("double") / 10)
+      RegressionOps.multiOls(e, col("event_type"), col("x1"), col("x2"),
+        col("value"))
+    }),
+
+    // Q48 — salted two-stage aggregation (skew handling): identical
+    // result to the direct groupBy, verified by the unsalted oracle.
+    // event_type is low-cardinality (5 keys over 32 reducers = the skew
+    // shape); the salt spreads each key over 16 buckets.
+    "q48_salted_agg" -> ((s, d) =>
+      Skew.saltedSumCount(Tables.events(s, d), col("event_type"),
+          col("event_id"), col("value"), 16)
+        .select(col("k"), round(col("sum_v"), 2).as("sum_v"), col("n")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -937,6 +971,53 @@ object SparkEntry {
                 CASE WHEN user_id % 4 = 0 AND day(ts) BETWEEN 10 AND 12 THEN NULL
                      ELSE (pm IS NOT NULL AND pm > 0) END AS pm_valid,
                 CASE WHEN pm IS NULL AND cnt > 0 THEN 0.013 ELSE pm END AS pm_repaired
-         FROM t"""
+         FROM t""",
+
+    "q46_cosine_neardup" ->
+      s"""WITH base AS (SELECT label, vec_id AS id, embedding AS v,
+              ${Similarity.dotSql("embedding", "embedding")} AS n2
+              FROM embeddings),
+          p AS (SELECT a.id AS d1, b.id AS d2,
+              ${Similarity.dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+              FROM base a JOIN base b ON a.label = b.label AND a.id < b.id)
+          SELECT d1, d2, round(cos, 4) AS cos FROM p WHERE cos >= 0.3""",
+
+    "q47_multi_ols" ->
+      """WITH t AS (SELECT event_type,
+              (epoch_us(ts)/1e6 - 1704067200) / 86400 AS x1,
+              CAST(user_id % 101 AS DOUBLE) / 10 AS x2,
+              value AS y FROM events),
+          a AS (SELECT event_type, count(*) AS n,
+              avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+              var_samp(x1) AS s11, var_samp(x2) AS s22,
+              covar_samp(x1, x2) AS s12,
+              covar_samp(x1, y) AS sy1, covar_samp(x2, y) AS sy2,
+              var_samp(y) AS syy
+              FROM t GROUP BY event_type),
+          b AS (SELECT *,
+              (sy1*s22 - sy2*s12) / (s11*s22 - s12*s12) AS b1,
+              (sy2*s11 - sy1*s12) / (s11*s22 - s12*s12) AS b2
+              FROM a),
+          c AS (SELECT *,
+              (b1*sy1 + b2*sy2) / syy AS r2,
+              s12*s12 / (s11*s22) AS r12sq
+              FROM b),
+          d AS (SELECT *,
+              syy * (1.0 - r2) * (n - 1) / (n - 3) AS sigma2
+              FROM c)
+          SELECT event_type, n,
+                 round(my - b1*m1 - b2*m2, 4) AS b0,
+                 round(b1, 4) AS b1, round(b2, 4) AS b2,
+                 round(r2, 4) AS r2,
+                 round(b1 / sqrt(sigma2 / ((n-1) * s11 * (1.0 - r12sq))), 4) AS t1,
+                 round(b2 / sqrt(sigma2 / ((n-1) * s22 * (1.0 - r12sq))), 4) AS t2
+          FROM d""",
+
+    "q48_salted_agg" ->
+      // The oracle is deliberately UNSALTED — the salted two-stage plan
+      // must be observationally identical to the direct group-by.
+      """SELECT event_type AS k, round(sum(value), 2) AS sum_v,
+                count(value) AS n
+         FROM events GROUP BY event_type"""
   )
 }

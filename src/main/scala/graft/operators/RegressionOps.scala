@@ -40,4 +40,42 @@ object RegressionOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     df.withColumn(as, (v - avg(v).over(w)) / stddev_samp(v).over(w))
   }
+
+  /** Two-feature OLS with stats summary — the statsmodels
+    * `OLS(y, [1, x1, x2]).fit()` surface of the reference
+    * (`MyRegression.py:847-860,919-967`: params, R², t-values) in closed
+    * form via the covariance normal equations:
+    *
+    *   b1 = (Sy1·S22 − Sy2·S12) / det,  b2 = (Sy2·S11 − Sy1·S12) / det,
+    *   det = S11·S22 − S12²,  b0 = ȳ − b1·x̄1 − b2·x̄2,
+    *   R²  = (b1·Sy1 + b2·Sy2) / Syy,
+    *   tᵢ  = bᵢ / seᵢ,  seᵢ² = σ² / ((n−1)·Sᵢᵢ·(1−r12²)),
+    *   σ²  = Syy·(1−R²)·(n−1)/(n−3)
+    *
+    * One `groupBy` pass of `covar_samp`/`var_samp`/`avg` aggregates (all
+    * map-side combined) — no ML-library iteration, no driver math.
+    */
+  def multiOls(df: DataFrame, key: Column, x1: Column, x2: Column,
+               y: Column): DataFrame = {
+    val agg = df.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      avg(y).as("my"), avg(x1).as("m1"), avg(x2).as("m2"),
+      var_samp(x1).as("s11"), var_samp(x2).as("s22"),
+      covar_samp(x1, x2).as("s12"),
+      covar_samp(x1, y).as("sy1"), covar_samp(x2, y).as("sy2"),
+      var_samp(y).as("syy"))
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val b1 = (col("sy1") * col("s22") - col("sy2") * col("s12")) / det
+    val b2 = (col("sy2") * col("s11") - col("sy1") * col("s12")) / det
+    val r2 = (b1 * col("sy1") + b2 * col("sy2")) / col("syy")
+    val sigma2 = col("syy") * (lit(1.0) - r2) * (col("n") - 1) / (col("n") - 3)
+    val r12sq = col("s12") * col("s12") / (col("s11") * col("s22"))
+    val se1 = sqrt(sigma2 / ((col("n") - 1) * col("s11") * (lit(1.0) - r12sq)))
+    val se2 = sqrt(sigma2 / ((col("n") - 1) * col("s22") * (lit(1.0) - r12sq)))
+    agg.select(key, col("n"),
+      round(col("my") - b1 * col("m1") - b2 * col("m2"), 4).as("b0"),
+      round(b1, 4).as("b1"), round(b2, 4).as("b2"),
+      round(r2, 4).as("r2"),
+      round(b1 / se1, 4).as("t1"), round(b2 / se2, 4).as("t2"))
+  }
 }
