@@ -525,7 +525,23 @@ object SparkEntry {
     "q48_salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(Tables.events(s, d), col("event_type"),
           col("event_id"), col("value"), 16)
-        .select(col("k"), round(col("sum_v"), 2).as("sum_v"), col("n")))
+        .select(col("k"), round(col("sum_v"), 2).as("sum_v"), col("n"))),
+
+    // Q49 — native geohash Expression round-trip (F4 as a codegen'd
+    // Catalyst expression, registered via SparkSessionExtensions):
+    // decode(encode(lat,lon,12)) ≈ identity within 1e-7 ≪ the 1e-4
+    // output rounding, so the oracle is the plain projection.
+    "q49_geohash_native" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.supplier(s, d).select(col("s_suppkey"),
+          ((col("s_suppkey") * 7 % 120) - 60 + 0.25).as("lat"),
+          ((col("s_suppkey") * 13 % 360) - 180 + 0.5).as("lon"))
+        .withColumn("gh", call_function("geohash_encode",
+          col("lat"), col("lon"), lit(12)))
+        .select(col("s_suppkey"),
+          round(call_function("geohash_decode_lat", col("gh")), 4).as("lat_rt"),
+          round(call_function("geohash_decode_lon", col("gh")), 4).as("lon_rt"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1018,6 +1034,12 @@ object SparkEntry {
       // must be observationally identical to the direct group-by.
       """SELECT event_type AS k, round(sum(value), 2) AS sum_v,
                 count(value) AS n
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    "q49_geohash_native" ->
+      """SELECT s_suppkey,
+                round((s_suppkey*7 % 120) - 60 + 0.25, 4) AS lat_rt,
+                round((s_suppkey*13 % 360) - 180 + 0.5, 4) AS lon_rt
+         FROM supplier"""
   )
 }

@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the geohash codec (SURVEY §2.9: the
+  * scalar-UDF tier upgraded to tier (b) — a codegen'd `Expression`).
+  *
+  * `doGenCode` emits a direct static call into
+  * [[graft.functions.GeoFunctions]] (Scala `object` methods compile to
+  * static forwarders), so the call participates in whole-stage codegen
+  * with no UDF boxing, no encoder round-trip, and null handling from
+  * `nullSafeCodeGen`. Registered on a session via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or directly with
+  * [[GraftExtensions.register]].
+  */
+case class GeohashEncode(first: Expression, second: Expression,
+                         third: Expression)
+    extends TernaryExpression {
+  // Input typing: the registry builders wrap children in Cast (the
+  // ExpectsInputTypes trait's input-type vocabulary is private[sql]).
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash_encode"
+
+  override protected def nullSafeEval(lat: Any, lon: Any, p: Any): Any =
+    UTF8String.fromString(graft.functions.GeoFunctions.geohashEncode(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double], p.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo, p) =>
+      s"${ev.value} = UTF8String.fromString(" +
+        s"graft.functions.GeoFunctions.geohashEncode($la, $lo, $p));")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+abstract class GeohashDecodeBase extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def accessor: String // "_1" (lat) | "_2" (lon)
+
+  override protected def nullSafeEval(gh: Any): Any = {
+    val (lat, lon) =
+      graft.functions.GeoFunctions.geohashDecode(gh.toString)
+    if (accessor == "_1") lat else lon
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, gh =>
+      s"(Double) graft.functions.GeoFunctions.geohashDecode($gh.toString()).$accessor()")
+}
+
+case class GeohashDecodeLat(child: Expression) extends GeohashDecodeBase {
+  override def prettyName: String = "geohash_decode_lat"
+  protected def accessor: String = "_1"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GeohashDecodeLon(child: Expression) extends GeohashDecodeBase {
+  override def prettyName: String = "geohash_decode_lon"
+  protected def accessor: String = "_2"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session extension registering the geohash expression family —
+  * activate with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * at submit time, or imperatively via [[GraftExtensions.register]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Injection = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GeohashEncode].getName, null, name, usage, "")
+
+  val injections: Seq[Injection] = Seq(
+    (FunctionIdentifier("geohash_encode"),
+      info("geohash_encode", "geohash_encode(lat, lon, precision)"),
+      (es: Seq[Expression]) => GeohashEncode(Cast(es(0), DoubleType), Cast(es(1), DoubleType), Cast(es(2), IntegerType))),
+    (FunctionIdentifier("geohash_decode_lat"),
+      info("geohash_decode_lat", "geohash_decode_lat(geohash)"),
+      (es: Seq[Expression]) => GeohashDecodeLat(Cast(es.head, StringType))),
+    (FunctionIdentifier("geohash_decode_lon"),
+      info("geohash_decode_lon", "geohash_decode_lon(geohash)"),
+      (es: Seq[Expression]) => GeohashDecodeLon(Cast(es.head, StringType))))
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
