@@ -541,6 +541,40 @@ object SparkEntry {
         .select(col("s_suppkey"),
           round(call_function("geohash_decode_lat", col("gh")), 4).as("lat_rt"),
           round(call_function("geohash_decode_lon", col("gh")), 4).as("lon_rt"))
+    }),
+
+    // Q50 — archive long/wide model round-trip (SURVEY §1.4): a wide
+    // frame with tri-state _valid companions → long (field,value,valid)
+    // rows → pivoted back must equal the original wide frame. The
+    // oracle is the direct wide projection (identity).
+    "q50_archive_model" -> ((s, d) => {
+      val wide = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        (col("value") / 10).as("temp"),
+        when(col("event_id") % 13 === 0, lit(null).cast("boolean"))
+          .otherwise(col("event_id") % 7 =!= 0).as("temp_valid"),
+        (col("user_id") % 101).cast("double").as("rv"),
+        lit(true).as("rv_valid"))
+      val long = ArchiveModel.toLong(wide,
+        Seq(col("user_id")), col("event_id"), Seq("temp", "rv"))
+      ArchiveModel.toWide(long, Seq(col("user_id")), Seq("temp", "rv"))
+        .select(col("user_id"), col("datum").as("event_id"),
+          col("temp"), col("temp_valid"), col("rv"), col("rv_valid"))
+    }),
+
+    // Q51 — CAQI family + combined indices (F9/F11): per-pollutant CAQI,
+    // the maxCAQI +50 bump, and the AQI cumulative-effect max-index.
+    "q51_aqi_combined" -> ((s, d) => {
+      val pm25 = col("value") / 4
+      val pm10 = col("value") / 2
+      val c25 = AirQuality.caqiPm25.column(pm25)
+      val c10 = AirQuality.caqiPm10.column(pm10)
+      val a25 = AirQuality.aqiPm25.column(pm25)
+      val a10 = AirQuality.aqiPm10.column(pm10)
+      Tables.events(s, d).select(col("event_id"),
+        c25.as("caqi_pm25"), c10.as("caqi_pm10"),
+        AirQuality.maxCaqi(c25, c10).as("caqi_max"),
+        AirQuality.maxIndex(lit(2), a25, a10).as("aqi_max"))
     })
   )
 
@@ -1040,6 +1074,31 @@ object SparkEntry {
       """SELECT s_suppkey,
                 round((s_suppkey*7 % 120) - 60 + 0.25, 4) AS lat_rt,
                 round((s_suppkey*13 % 360) - 180 + 0.5, 4) AS lon_rt
-         FROM supplier"""
+         FROM supplier""",
+
+    "q50_archive_model" ->
+      // identity: long→wide must reproduce the original wide projection
+      """SELECT user_id, event_id, value/10 AS temp,
+                CASE WHEN event_id % 13 = 0 THEN NULL
+                     ELSE event_id % 7 != 0 END AS temp_valid,
+                CAST(user_id % 101 AS DOUBLE) AS rv,
+                true AS rv_valid
+         FROM events""",
+
+    "q51_aqi_combined" -> {
+      val c25 = AirQuality.caqiPm25.sqlCase("(value/4)")
+      val c10 = AirQuality.caqiPm10.sqlCase("(value/2)")
+      val a25 = AirQuality.aqiPm25.sqlCase("(value/4)")
+      val a10 = AirQuality.aqiPm10.sqlCase("(value/2)")
+      s"""SELECT event_id,
+             $c25 AS caqi_pm25, $c10 AS caqi_pm10,
+             CASE WHEN least($c25, $c10) + 25.0 >= greatest($c25, $c10)
+                  THEN greatest($c25, $c10) + 50.0
+                  ELSE greatest($c25, $c10) END AS caqi_max,
+             CASE WHEN least($a25, $a10) + 25.0 >= greatest($a25, $a10)
+                  THEN greatest($a25, $a10) + 25.0
+                  ELSE greatest($a25, $a10) END AS aqi_max
+          FROM events"""
+    }
   )
 }

@@ -80,6 +80,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.drop(1).forall(o => !o.accepted && o.reason == "throttle"))
   }
 
+  test("event-time window aggregation with watermark drops late data") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L * 24 * 19000 + min * 60000L)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: two on-time events in [00,10) + one at 25 that will push
+    // the watermark to 15 and close the first window.
+    mem.addData((ts(0), 1.0), (ts(5), 2.0), (ts(25), 4.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the closed [00,10) window — must be
+    // dropped, not resurrect the window.
+    mem.addData((ts(2), 100.0), (ts(45), 8.0))
+    q.processAllAvailable()
+    mem.addData((ts(70), 16.0)) // advance watermark, flush [40,50)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out")
+      .select(col("window.start").cast("long").as("w"), col("s"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val w0 = 3600L * 24 * 19000
+    assert(out(w0) == (3.0, 2L), s"late event leaked into closed window: $out")
+    assert(out(w0 + 40 * 60) == (8.0, 1L))
+  }
+
   test("multimodal decode stub: typed mapPartitions round-trip") {
     import graft.operators.Multimodal
     val media = Seq(
