@@ -575,6 +575,25 @@ object SparkEntry {
         c25.as("caqi_pm25"), c10.as("caqi_pm10"),
         AirQuality.maxCaqi(c25, c10).as("caqi_max"),
         AirQuality.maxIndex(lit(2), a25, a10).as("aqi_max"))
+    }),
+
+    // Q52 — min-max and z-score normalisation per key (A10), raw doubles.
+    "q52_normalize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val mm = RegressionOps.minMaxNorm(e, col("user_id"), col("value"), "mm")
+      RegressionOps.zNorm(mm, col("user_id"), col("value"), "z")
+        .select(col("event_id"), col("mm"), col("z"))
+    }),
+
+    // Q53 — exact ±tol as-of alignment (J3's literal pickValue
+    // semantics) via a banded range join on integer microseconds.
+    "q53_tolerance_align" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      AsOfAlign.toleranceAlign(
+        e.where(col("event_type") === "click"), col("event_id"), col("ts"),
+        col("value"),
+        e.where(col("event_type") === "purchase"), col("ts"), col("value"),
+        450)
     })
   )
 
@@ -1099,6 +1118,22 @@ object SparkEntry {
                   THEN greatest($a25, $a10) + 25.0
                   ELSE greatest($a25, $a10) END AS aqi_max
           FROM events"""
-    }
+    },
+
+    "q52_normalize" ->
+      """SELECT event_id,
+                (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w)
+                  AS mm,
+                (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+         FROM events
+         WINDOW w AS (PARTITION BY user_id)""",
+
+    "q53_tolerance_align" ->
+      """SELECT l.event_id AS l_id, epoch_us(l.ts) AS l_us, l.value AS l_v,
+                round(avg(r.value), 4) AS avg_r, count(*) AS n_match
+         FROM events l JOIN events r
+           ON l.event_type = 'click' AND r.event_type = 'purchase'
+          AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 450000000
+         GROUP BY 1, 2, 3"""
   )
 }

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    segment's line (the reference clamps `indx`, AQI `:308-309`,
   *    LKI `:460`), then cap (AQI 500 `:315`, LKI 11 `:466`, CAQI 120
   *    `:740`);
-  *  - input concentration is pre-rounded per pollutant: O₃ 3 decimals,
-  *    PM2.5/CO 1 decimal, PM10/SO₂/NO₂ integer (AQI `:301-304`,
-  *    LKI `:453-457`);
+  *  - AQI and LKI pre-round the input concentration per pollutant: O₃ 3
+  *    decimals, PM2.5/CO 1 decimal, PM10/SO₂/NO₂ integer (AQI `:301-304`,
+  *    LKI `:453-457`); CAQI interpolates the raw value (no input rounding
+  *    anywhere in `CAQI()` `:649-685`);
   *  - AQI/CAQI round the result to an integer (`:314`, `:739`); LKI keeps
   *    the raw value (1-decimal presentation happens at view time).
   *
@@ -48,12 +49,12 @@ object AirQuality {
     * @param outInteger  whether the result is rounded to an integer
     * @param cap         upper cap applied after rounding
     */
-  final case class PiecewiseTable(segments: Seq[Segment], inDecimals: Int,
+  final case class PiecewiseTable(segments: Seq[Segment], inDecimals: Option[Int],
                                   outInteger: Boolean, cap: Double) {
 
     /** Spark expression: interpolated index of concentration column `c0`. */
     def column(c0: Column): Column = {
-      val c = round(c0, inDecimals)
+      val c = inDecimals.map(d => round(c0, d)).getOrElse(c0)
       val lastS = segments.last
       val chain = segments.init.foldRight(
           lit(lastS.iLo) + lit(lastS.slope) * (c - lastS.lo)) {
@@ -66,7 +67,7 @@ object AirQuality {
 
     /** Identical computation rendered as SQL (DuckDB/ANSI) for the oracle. */
     def sqlCase(v: String): String = {
-      val c = s"round($v, $inDecimals)"
+      val c = inDecimals.map(d => s"round($v, $d)").getOrElse(s"($v)")
       def seg(s: Segment) = s"${s.iLo} + ${s.slope} * ($c - ${s.lo})"
       val chain = segments.init.foldRight(seg(segments.last)) { case (s, els) =>
         s"CASE WHEN $c < ${s.hi} THEN ${seg(s)} ELSE $els END"
@@ -88,7 +89,7 @@ object AirQuality {
       Segment(breaks(i), breaks(i + 1), idx(i),
         (idx(i + 1) - 1 - idx(i)) / (breaks(i + 1) * 0.999 - breaks(i)))
     }
-    PiecewiseTable(segs, inDecimals, outInteger = true, cap = 500)
+    PiecewiseTable(segs, Some(inDecimals), outInteger = true, cap = 500)
   }
 
   /** AQI for PM2.5 µg/m³ (1-decimal input rounding, `:303`). */
@@ -101,15 +102,18 @@ object AirQuality {
 
   /** NL RIVM LKI family (`AirQualityIndex.py:414-423` LKItable, `:425`
     * LKIs = 0..12, formula `:458-466`): segment i of the 10 breaks maps to
-    * indices (i, i+1) with slope `1/(B[i+1]·0.999 − B[i])`; segments 0..8
-    * usable (indx clamp `:460`), raw result, cap 11.
+    * indices (i, i+1) with slope `1/(B[i+1]·0.999 − B[i])`; the clamp
+    * `indx >= len-2 → indx -= 1` (`:460`) makes segment 7 the LAST usable
+    * one — values in [B[8], B[9]) reuse segment 7's line (e.g. pm2.5 95 →
+    * 7 + 25/(90·0.999−70) = 8.2557, NOT a segment-8 8.5051); raw result,
+    * cap 11.
     */
   private def lkiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
-    val segs = (0 to 8).map { i =>
+    val segs = (0 to 7).map { i =>
       Segment(breaks(i), breaks(i + 1), i.toDouble,
         1.0 / (breaks(i + 1) * 0.999 - breaks(i)))
     }
-    PiecewiseTable(segs, inDecimals, outInteger = false, cap = 11)
+    PiecewiseTable(segs, Some(inDecimals), outInteger = false, cap = 11)
   }
 
   /** LKI for PM2.5 (`:417` pm_25 row; 1-decimal input rounding `:456`). */
@@ -126,20 +130,22 @@ object AirQuality {
     * ·(c − B[i])`; all five segments incl. (180,360)→(100,125); integer
     * result, cap 120 (`:740` — the reference caps at 120, not 125).
     */
-  private def caqiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
+  private def caqiTable(breaks: Seq[Double]): PiecewiseTable = {
     val cls = Seq(0.0, 25, 50, 75, 100, 125)
     val segs = (0 to 4).map { i =>
       Segment(breaks(i), breaks(i + 1), cls(i),
         (cls(i + 1) * 0.999 - cls(i)) / (breaks(i + 1) * 0.999 - breaks(i)))
     }
-    PiecewiseTable(segs, inDecimals, outInteger = true, cap = 120)
+    // CAQI takes the RAW concentration — the reference's CAQI() has no
+    // input rounding (only AQI :301-304 and LKI :453-457 pre-round).
+    PiecewiseTable(segs, None, outInteger = true, cap = 120)
   }
 
   /** CAQI (background, hourly) for PM10 (`:612` level [0,25,50,90,180,360]). */
-  val caqiPm10: PiecewiseTable = caqiTable(Seq(0, 25, 50, 90, 180, 360), 0)
+  val caqiPm10: PiecewiseTable = caqiTable(Seq(0, 25, 50, 90, 180, 360))
 
   /** CAQI (background, hourly) for PM2.5 (`:622` level [0,15,30,55,110,220]). */
-  val caqiPm25: PiecewiseTable = caqiTable(Seq(0, 15, 30, 55, 110, 220), 1)
+  val caqiPm25: PiecewiseTable = caqiTable(Seq(0, 15, 30, 55, 110, 220))
 
   /** Canadian AQHI: `(1000/10.4)·Σ(exp(βᵢ·polᵢ)−1)`, β = 0.000537 (O₃),
     * 0.000871 (NO₂), 0.000487 (PM2.5); capped at 11, 2 decimals

@@ -154,10 +154,16 @@ object LoRaDecode {
     var nums = Map("version" -> b(0) / 10.0)
     var tags = Map.empty[String, String]
     if (b(1) == 0) return Meta(nums + ("event" -> b(b.length - 1).toDouble), tags)
-    tags += "dust" -> dustTypes(b(1) & 7)
+    // Total on unknown sensor ids: the JS golden generator yields
+    // `undefined` for out-of-table indices (dust 7, meteo 6+) and its
+    // try/catch swallows the rest — we map every out-of-range id to
+    // "unknown" instead of throwing (one bad telegram must not kill a
+    // task).
+    val dustIdx = b(1) & 7
+    tags += "dust" -> (if (dustIdx < dustTypes.length) dustTypes(dustIdx) else "unknown")
     if ((b(1) & 8) != 0) nums += "gps" -> 1.0
     val meteoIdx = (b(1) >> 4) & 15
-    tags += "meteo" -> meteoTypes(if (meteoIdx > meteoTypes.length) 0 else meteoIdx)
+    tags += "meteo" -> (if (meteoIdx < meteoTypes.length) meteoTypes(meteoIdx) else "unknown")
     val lati = bytes2rat(b, 2)
     if (lati != 0) {
       nums += "latitude" -> jsRound(lati / 100000.0, 6)

@@ -30,4 +30,31 @@ object AsOfAlign {
       .agg(round(avg(bVal), 4).as("avg_b"), count(lit(1)).as("n_b"))
     left.join(right, Seq("bucket_ts"), "inner")
   }
+
+  /** Exact ±tol alignment — the literal `pickValue` semantics: for each
+    * left row, the mean of ALL right samples with |t_l − t_r| ≤ tol;
+    * left rows without a match are dropped (MyRegression.py:390-396).
+    *
+    * Scale shape: a *banded* range join, not O(n·m) — the right side is
+    * exploded into its bucket and both neighbors (3×), the join is an
+    * equi-join on `floor(t/tol)`, and the exact |Δt| ≤ tol predicate
+    * filters the band. Each pair within tolerance falls in exactly one
+    * of the three band offsets, so no dedup is needed. Timestamps are
+    * compared in integer microseconds — no float in the join key. */
+  def toleranceAlign(a: DataFrame, aId: Column, aTs: Column, aVal: Column,
+                     b: DataFrame, bTs: Column, bVal: Column,
+                     tolSec: Long): DataFrame = {
+    val tolUs = tolSec * 1000000L
+    val left = a.select(aId.as("l_id"), unix_micros(aTs.cast("timestamp")).as("l_us"),
+      aVal.as("l_v")).withColumn("b", floor(col("l_us") / tolUs))
+    val right = b.select(unix_micros(bTs.cast("timestamp")).as("r_us"),
+        bVal.as("r_v"))
+      .withColumn("b0", floor(col("r_us") / tolUs))
+      .select(col("r_us"), col("r_v"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
+    left.join(right, Seq("b"))
+      .where(abs(col("l_us") - col("r_us")) <= tolUs)
+      .groupBy(col("l_id"), col("l_us"), col("l_v"))
+      .agg(round(avg(col("r_v")), 4).as("avg_r"), count(lit(1)).as("n_match"))
+  }
 }

@@ -22,11 +22,14 @@ object Grubbs {
 
   case class Result(lo: Double, hi: Double, nKept: Int, nRemoved: Int)
 
-  /** Run the recursive test on a window's values. */
+  /** Run the recursive test on a window's values. Windows of >= minN
+    * samples are tested (reference skips only `len(data) < threshold`,
+    * grubbs.py:466); removal can leave minN−1 values, matching the
+    * reference loop (and the round-1 `grubbsRange` it replaced). */
   def test(values: Array[Double], alpha: Double, minN: Int): Result = {
     val buf = scala.collection.mutable.ArrayBuffer(values.toSeq: _*)
     var removed = 0
-    var continue = buf.length > minN
+    var continue = buf.length >= minN
     while (continue) {
       val n = buf.length
       val mean = buf.sum / n
@@ -42,9 +45,10 @@ object Grubbs {
           i += 1
         }
         val g = worstDev / sd
-        if (g > Stats.grubbsCritical(n, alpha) && n - 1 >= minN) {
+        if (g > Stats.grubbsCritical(n, alpha)) {
           buf.remove(worst)
           removed += 1
+          continue = buf.length >= minN
         } else continue = false
       }
     }

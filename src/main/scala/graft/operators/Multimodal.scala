@@ -68,11 +68,14 @@ object Multimodal {
   def byteFeatures(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"), col("mime"),
       octet_length(col("content")).as("n_bytes"),
-      aggregate(
-        sequence(lit(1), octet_length(col("content")), lit(stride)),
-        lit(0L),
-        (acc, i) => acc +
-          ascii(call_function("substr", col("content").cast("string"), i, lit(1))))
+      // empty blobs: sequence(1, 0, step) throws; DuckDB's range(1,1,16)
+      // yields an empty list and a NULL sum — match that with a guard.
+      when(octet_length(col("content")) === 0, lit(null).cast("long"))
+        .otherwise(aggregate(
+          sequence(lit(1), octet_length(col("content")), lit(stride)),
+          lit(0L),
+          (acc, i) => acc +
+            ascii(call_function("substr", col("content").cast("string"), i, lit(1)))))
         .as("sample_checksum"),
       (floor(octet_length(col("content")) / 64) + 1).as("n_frames"))
 }

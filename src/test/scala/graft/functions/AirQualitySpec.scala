@@ -30,8 +30,13 @@ class AirQualitySpec extends AnyFunSuite {
     assert(idx(AirQuality.lkiPm25, 0.0) == 0.0)
     assert(idx(AirQuality.lkiPm25, 10.0) == 1.0)
     assert(math.abs(idx(AirQuality.lkiPm25, 25.0) - 3.501505) < 1e-5)
-    assert(math.abs(idx(AirQuality.lkiPm25, 95.0) - 8.505051) < 1e-5)
-    assert(idx(AirQuality.lkiPm25, 120.0) == 11.0) // extrapolated then capped
+    // indx clamp (:460): [90,100) reuses segment 7's line —
+    // 7 + 25/(90*0.999 - 70) = 8.255651, NOT a segment-8 8.505051
+    assert(math.abs(idx(AirQuality.lkiPm25, 95.0) - (7.0 + 25.0 / (90 * 0.999 - 70))) < 1e-9)
+    // beyond the last break the reference IndexErrors; we extrapolate
+    // segment 7's line (documented divergence), capping at 11
+    assert(math.abs(idx(AirQuality.lkiPm25, 120.0) -
+      (7.0 + 50.0 / (90 * 0.999 - 70))) < 1e-9) // 9.5113
     assert(idx(AirQuality.lkiPm25, 500.0) == 11.0) // capped
   }
 
@@ -42,6 +47,14 @@ class AirQualitySpec extends AnyFunSuite {
     assert(idx(AirQuality.caqiPm10, 270.0) == 112.0)
     assert(idx(AirQuality.caqiPm10, 359.0) == 120.0) // reference caps at 120
     assert(idx(AirQuality.caqiPm10, 500.0) == 120.0)
+  }
+
+  test("CAQI interpolates the RAW concentration (no input rounding)") {
+    // 89.4 in [50,90): 50 + (75*0.999-50)/(90*0.999-50)*(89.4-50) = 74.7…
+    // → round 75. Input-rounding to 89 would yield 74.
+    val expect = math.rint(50 + (75 * 0.999 - 50) / (90 * 0.999 - 50) * (89.4 - 50))
+    assert(idx(AirQuality.caqiPm10, 89.4) == expect)
+    assert(expect == 75.0)
   }
 
   test("piecewise tables are monotone non-decreasing (seeded sweep)") {

@@ -105,6 +105,21 @@ class LoRaDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("meta decode is total on unknown sensor-type bytes") {
+    // dust bits 7 and meteo nibble >= 6 are outside both type tables —
+    // must yield "unknown", not throw (one bad telegram, one dead task).
+    for (b1 <- Seq(0x67, 0x07, 0xF7, 0x6F)) {
+      val meta = LoRaDecode.decodeMeta(Array(0x02, b1, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0).map(_.toByte))
+      assert(meta.tags.get("dust").forall(d => LoRaDecode.dustTypes.contains(d) || d == "unknown"))
+      assert(meta.tags("meteo") == "unknown" ||
+        LoRaDecode.meteoTypes.contains(meta.tags("meteo")))
+    }
+    val m7 = LoRaDecode.decodeMeta(Array(0x02, 0x67, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0).map(_.toByte))
+    assert(m7.tags("dust") == "unknown" && m7.tags("meteo") == "unknown")
+  }
+
   test("port 12 rule codec: encode/decode round-trip incl. NaN sentinels") {
     val readings = Seq(
       1 -> Seq(Some(17.1), Some(69.0), Some(1030.0)),      // BME280

@@ -48,6 +48,14 @@ class GrubbsSpec extends AnyFunSuite {
     assert(r.nRemoved == 0 && r.nKept == 3)
   }
 
+  test("a group of exactly minN values IS tested (reference: skip only < threshold)") {
+    val vals = (1 to 14).map(i => 10.0 + (i % 5) * 0.1) :+ 99.0
+    assert(vals.length == 15)
+    val r = Grubbs.test(vals.toArray, 0.05, 15)
+    assert(r.nRemoved == 1, s"outlier at n==minN must be removed: $r")
+    assert(r.nKept == 14 && r.hi <= 10.5)
+  }
+
   test("aggregator column form works in groupBy and invalidate flags rows") {
     val df = ((1 to 30).map(i => ("a", 10.0 + (i % 7) * 0.1)) :+ ("a", 99.0))
       .toDF("k", "v")
