@@ -594,6 +594,26 @@ object SparkEntry {
         col("value"),
         e.where(col("event_type") === "purchase"), col("ts"), col("value"),
         450)
+    }),
+
+    // Q54 — the SAME alignment written as a naive abs(Δt) ≤ tol theta-
+    // join: BandedIntervalJoinRule rewrites the nested-loop plan into
+    // the banded equi-join at optimization time. Same oracle as q53 —
+    // the rewrite must be invisible in the results.
+    "q54_banded_rule_align" -> ((s, d) => {
+      s.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
+      val e = Tables.events(s, d)
+      val l = e.where(col("event_type") === "click").select(
+        col("event_id").as("l_id"),
+        unix_micros(col("ts").cast("timestamp")).as("l_us"),
+        col("value").as("l_v"))
+      val r = e.where(col("event_type") === "purchase").select(
+        unix_micros(col("ts").cast("timestamp")).as("r_us"),
+        col("value").as("r_v"))
+      l.join(r, abs(col("l_us") - col("r_us")) <= lit(450000000L))
+        .groupBy(col("l_id"), col("l_us"), col("l_v"))
+        .agg(round(avg(col("r_v")), 4).as("avg_r"),
+          count(lit(1)).as("n_match"))
     })
   )
 
@@ -1129,6 +1149,14 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id)""",
 
     "q53_tolerance_align" ->
+      """SELECT l.event_id AS l_id, epoch_us(l.ts) AS l_us, l.value AS l_v,
+                round(avg(r.value), 4) AS avg_r, count(*) AS n_match
+         FROM events l JOIN events r
+           ON l.event_type = 'click' AND r.event_type = 'purchase'
+          AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 450000000
+         GROUP BY 1, 2, 3""",
+
+    "q54_banded_rule_align" ->
       """SELECT l.event_id AS l_id, epoch_us(l.ts) AS l_us, l.value AS l_v,
                 round(avg(r.value), 4) AS avg_r, count(*) AS n_match
          FROM events l JOIN events r

@@ -75,8 +75,10 @@ case class GeohashDecodeLon(child: Expression) extends GeohashDecodeBase {
   * activate with `spark.sql.extensions=graft.plans.GraftExtensions`
   * at submit time, or imperatively via [[GraftExtensions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => BandedIntervalJoinRule)
+  }
 }
 
 object GraftExtensions {
