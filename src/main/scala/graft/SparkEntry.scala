@@ -129,13 +129,16 @@ object SparkEntry {
         col("ts"), 1, 86400, Seq(col("event_id")))
     }),
 
-    // Q12 — half-overlapping sliding windows (A5/W5).
+    // Q12 — half-overlapping sliding windows (A5/W5). SUM not mean: a
+    // window of 2^k two-decimal values averages onto an exact 5th-decimal
+    // half where engine summation order decides the rounding (failed at
+    // sf0.001 with n=8); the sum stays on the value grid.
     "q12_sliding_windows" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "1 day", "12 hours"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
         .select(col("user_id"), eS(col("window.start")).as("win_start"),
-          col("n"), col("avg_v"))
+          col("n"), col("sum_v"))
     }),
 
     // Q13 — mode / top-1 by frequency (P6): stuck-sensor report needs a
@@ -706,7 +709,7 @@ object SparkEntry {
 
     "q12_sliding_windows" ->
       """SELECT user_id, (epoch_us(ts)//43200000000 - o) * 43200 AS win_start,
-                count(*) AS n, round(avg(value),4) AS avg_v
+                count(*) AS n, round(sum(value),2) AS sum_v
          FROM events CROSS JOIN (SELECT unnest([0,1]) AS o)
          GROUP BY user_id, win_start""",
 
