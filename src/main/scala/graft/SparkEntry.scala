@@ -617,6 +617,26 @@ object SparkEntry {
         .groupBy(col("l_id"), col("l_us"), col("l_v"))
         .agg(round(avg(col("r_v")), 4).as("avg_r"),
           count(lit(1)).as("n_match"))
+    }),
+
+    // Q55 — DREF flatten (D3): nested data map {sensorType → [(field,
+    // value)…]} exploded to long measurement rows, exactly the decode
+    // path's record shape (MyDatacollector.py:1373-1464 ConvertValue).
+    "q55_dref_flatten" -> ((s, d) => {
+      val dref = Tables.events(s, d).select(col("event_id"),
+        map(
+          lit("BME280"), array(
+            struct(lit("temp").as("field"), (col("value") / 10).as("value")),
+            struct(lit("rv").as("field"),
+              (col("user_id") % 101).cast("double").as("value"))),
+          lit("SDS011"), array(
+            struct(lit("pm25").as("field"), (col("value") / 4).as("value")),
+            struct(lit("pm10").as("field"), (col("value") / 2).as("value"))))
+          .as("data"))
+      dref.select(col("event_id"), explode(col("data")).as(Seq("sensor", "ms")))
+        .select(col("event_id"), col("sensor"), explode(col("ms")).as("m"))
+        .select(col("event_id"), col("sensor"),
+          col("m.field").as("field"), col("m.value").as("value"))
     })
   )
 
@@ -1165,6 +1185,12 @@ object SparkEntry {
          FROM events l JOIN events r
            ON l.event_type = 'click' AND r.event_type = 'purchase'
           AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 450000000
-         GROUP BY 1, 2, 3"""
+         GROUP BY 1, 2, 3""",
+
+    "q55_dref_flatten" ->
+      """SELECT event_id, 'BME280' AS sensor, 'temp' AS field, value/10 AS value FROM events
+         UNION ALL SELECT event_id, 'BME280', 'rv', CAST(user_id % 101 AS DOUBLE) FROM events
+         UNION ALL SELECT event_id, 'SDS011', 'pm25', value/4 FROM events
+         UNION ALL SELECT event_id, 'SDS011', 'pm10', value/2 FROM events"""
   )
 }
