@@ -41,9 +41,12 @@ object KitState {
   val ThrottleResetS = 4 * 3600L // :960-962
   val StaticThreshold = 5       // FluctCheck dflt 40; tests use lower
 
-  def update(rateS: Long, staticThreshold: Int, geoPrefix: Int)(
+  def update(rateS: Long, staticThreshold: Int, geoPrefix: Int, ttlMs: Long)(
       kit: String, events: Iterator[KitEvent],
       state: GroupState[State]): Iterator[Output] = {
+    // KitCache TTL (lib/MyMQTTclient.py:608, ReDoCache 24 h): expired
+    // state is dropped, the next telegram re-registers the kit.
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(
       State(0L, 0L, 0.0, 0L, 0, Double.NaN, "", moved = false))
     val out = events.toSeq.sortBy(e => (e.ts, e.value)).map { e =>
@@ -75,6 +78,7 @@ object KitState {
         st.staticRun, st.moved)
     }
     state.update(st)
+    if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
     out.iterator
   }
 
@@ -84,13 +88,16 @@ object KitState {
   def apply(grouped: KeyValueGroupedDataset[String, KitEvent],
             rateS: Long = DefaultRateS,
             staticThreshold: Int = StaticThreshold,
-            geoPrefix: Int = 6): Dataset[Output] = {
+            geoPrefix: Int = 6,
+            ttlMs: Long = 0L): Dataset[Output] = {
     implicit val stEnc: org.apache.spark.sql.Encoder[State] =
       org.apache.spark.sql.Encoders.product[State]
     implicit val outEnc: org.apache.spark.sql.Encoder[Output] =
       org.apache.spark.sql.Encoders.product[Output]
-    grouped.flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-      update(rateS, staticThreshold, geoPrefix))
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    grouped.flatMapGroupsWithState(OutputMode.Append(), timeout)(
+      update(rateS, staticThreshold, geoPrefix, ttlMs))
   }
 }

@@ -61,6 +61,9 @@ class StreamingSpec extends AnyFunSuite {
   test("kit state machine runs as a real stream with identical output") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KitEvent]
+    // ttl left off here: ProcessingTimeTimeout keeps scheduling timeout
+    // batches, so processAllAvailable never settles in a test harness;
+    // the TTL code path is covered by the GroupState-double test below.
     val q = KitState(mem.toDS().groupByKey(_.kit), rateS = 480L,
         staticThreshold = 3, geoPrefix = 6)
       .writeStream.format("memory").queryName("kit_out")
@@ -78,6 +81,31 @@ class StreamingSpec extends AnyFunSuite {
     // 100 s cadence < 480 s rate: throttled from the 2nd telegram on,
     // state carried across micro-batches.
     assert(rows.drop(1).forall(o => !o.accepted && o.reason == "throttle"))
+  }
+
+  test("kit TTL: timed-out state is removed, next telegram re-registers") {
+    import org.apache.spark.sql.streaming.{GroupState, TestGroupState}
+    // expired invocation: no events, hasTimedOut = true
+    import org.apache.spark.api.java.Optional
+    val expired = TestGroupState.create[KitState.State](
+      optionalState = Optional.of(
+        KitState.State(5L, 1000L, 600.0, 0L, 1, 4.2, "u1hxyz00", moved = false)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = KitState.update(480L, 3, 6, 1000L)("A", Iterator.empty, expired)
+    assert(out.isEmpty && expired.isRemoved)
+    // fresh telegram after expiry: state re-registered with timeout armed
+    val fresh = TestGroupState.create[KitState.State](
+      optionalState = Optional.empty[KitState.State](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out2 = KitState.update(480L, 3, 6, 1000L)("A",
+      Iterator(KitEvent("A", 2000L, 1.0, "u1hxyz00")), fresh).toSeq
+    assert(out2.length == 1 && out2.head.accepted)
+    // state saved and the TTL timer armed (duration -> timestamp)
+    assert(fresh.isUpdated && fresh.getTimeoutTimestampMs.isPresent)
   }
 
   test("event-time window aggregation with watermark drops late data") {
