@@ -637,7 +637,14 @@ object SparkEntry {
         .select(col("event_id"), col("sensor"), explode(col("ms")).as("m"))
         .select(col("event_id"), col("sensor"),
           col("m.field").as("field"), col("m.value").as("value"))
-    })
+    }),
+
+    // Q56 — IVF ANN (nprobe=1): centroid cells (first 8 vectors as the
+    // deterministic training stub), exact cosine top-3 within the cell.
+    // Completes the ANN family: brute force (q29), LSH (q30), IVF (q56).
+    "q56_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), 8, 32, 3))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1191,6 +1198,26 @@ object SparkEntry {
       """SELECT event_id, 'BME280' AS sensor, 'temp' AS field, value/10 AS value FROM events
          UNION ALL SELECT event_id, 'BME280', 'rv', CAST(user_id % 101 AS DOUBLE) FROM events
          UNION ALL SELECT event_id, 'SDS011', 'pm25', value/4 FROM events
-         UNION ALL SELECT event_id, 'SDS011', 'pm10', value/2 FROM events"""
+         UNION ALL SELECT event_id, 'SDS011', 'pm10', value/2 FROM events""",
+
+    "q56_ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id AS id, embedding AS v,
+              ${Similarity.dotSql("embedding", "embedding")} AS n2
+              FROM embeddings),
+          c AS (SELECT id AS c_id, v AS c_v, n2 AS cn2 FROM base WHERE id < 8),
+          a AS (SELECT base.id, base.v, base.n2, c_id,
+              (cn2 - 2.0 * ${Similarity.dotSql("base.v", "c_v")}) AS s
+              FROM base CROSS JOIN c),
+          cell AS (SELECT id, v, n2, c_id AS cell FROM a
+              QUALIFY row_number() OVER (PARTITION BY id ORDER BY s, c_id) = 1),
+          q AS (SELECT id AS q_id, v AS q_v, n2 AS q_n2, cell AS q_cell
+              FROM cell WHERE id < 32),
+          scored AS (SELECT q_id, c.id AS n_id,
+              ${Similarity.dotSql("q_v", "c.v")} / sqrt(q_n2 * c.n2) AS cos
+              FROM cell c JOIN q ON q_cell = c.cell AND q_id != c.id)
+          SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+          WHERE rank <= 3"""
   )
 }

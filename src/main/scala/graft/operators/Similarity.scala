@@ -92,6 +92,47 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** IVF cell assignment: nearest centroid by squared euclidean distance
+    * (argmin over `‖c‖² − 2·v·c`; ‖v‖² is constant per vector and drops
+    * out), ties broken by centroid id. Centroids are the first K corpus
+    * vectors — a deterministic stand-in for the k-means training step,
+    * so engine and oracle share no trained state. */
+  def ivfAssign(emb: DataFrame, id: Column, vec: Column,
+                kCentroids: Int): DataFrame = {
+    val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+    val cents = base.where(col("id") < kCentroids)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("n2").as("cn2"))
+    base.join(broadcast(cents))
+      .groupBy(col("id"))
+      .agg(
+        min(struct((col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
+          col("c_id").as("c"))).as("m"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("id"), col("v"), col("n2"), col("m.c").as("cell"))
+  }
+
+  /** IVF ANN (nprobe = 1): exact cosine top-k within the query's own
+    * centroid cell. At scale each cell is a co-partitioned shard of the
+    * index — the probe shuffles on the cell id only. */
+  def annIvf(emb: DataFrame, id: Column, vec: Column,
+             kCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val cells = ivfAssign(emb, id, vec, kCentroids)
+    val q = cells.where(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("cell").as("q_cell"))
+    val scored = cells.as("c")
+      .join(broadcast(q),
+        col("q_cell") === col("cell") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        (dot(col("q_v"), col("v")) / sqrt(col("q_n2") * col("n2"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k *within the query's bucket*.
     * Same output shape as [[knnBruteForce]]; recall < 1 by design. */
   def annLsh(emb: DataFrame, id: Column, vec: Column,

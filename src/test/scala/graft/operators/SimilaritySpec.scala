@@ -43,6 +43,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b.values.forall(v => v >= 0 && v < 4))
   }
 
+  test("ivf: every vector lands in exactly one cell, centroids in their own") {
+    val cells = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+    assert(cells.size == 5)
+    assert(cells(0L) == 0L && cells(1L) == 1L) // centroids own their cells
+    assert(cells(4L) == 0L) // colinear with centroid 0
+    assert(cells(3L) == 1L) // (-1,0,0): dist² to c0=(1,0,0) is 4, to c1=(0,1,0) is 2
+  }
+
+  test("annIvf cosines agree with brute force on shared candidates") {
+    val ivf = Similarity.annIvf(emb, col("vec_id"), col("embedding"), 2, 5, 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (k, c) => assert(bf(k) == c) }
+  }
+
   test("annLsh output is consistent with brute force on shared candidates") {
     val ann = Similarity.annLsh(emb, col("vec_id"), col("embedding"), 2, 5, 4)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
