@@ -644,7 +644,19 @@ object SparkEntry {
     // Completes the ANN family: brute force (q29), LSH (q30), IVF (q56).
     "q56_ann_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d),
-        col("vec_id"), col("embedding"), 8, 32, 3))
+        col("vec_id"), col("embedding"), 8, 32, 3)),
+
+    // Q57 — JSON series serialization (F19): the HighCharts-style
+    // [[epoch, value], …] per-key series string
+    // (visualisation/ChartsPM.pl:1171-1238). Lexicographic [t, v] pair
+    // sort keeps the aggregation order-deterministic; both engines
+    // render compact JSON.
+    "q57_json_series" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(array(
+          eS(col("ts")), floor(col("value")).cast("long")))).as("series"))
+        .select(col("user_id"), to_json(col("series")).as("series_json")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1218,6 +1230,14 @@ object SparkEntry {
           SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
                         ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
-          WHERE rank <= 3"""
+          WHERE rank <= 3""",
+
+    "q57_json_series" ->
+      """SELECT user_id,
+                to_json(list(
+                  ARRAY[epoch_us(ts)//1000000, CAST(floor(value) AS BIGINT)]
+                  ORDER BY epoch_us(ts)//1000000, CAST(floor(value) AS BIGINT)))
+                  AS series_json
+         FROM events GROUP BY user_id"""
   )
 }
