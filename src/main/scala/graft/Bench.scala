@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one optimizer config for every query (q54 relies on the rule;
+    // registering here keeps plans consistent across the whole run)
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
     // JVM/codegen warmup outside the timings (standard practice: measure
     // the engine, not first-call class loading). Runs the whole-stage
     // codegen + shuffle machinery once on a small synthetic job.

@@ -18,6 +18,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // one optimizer config for every query (q54 relies on the rule;
+    // registering here keeps plans consistent across the whole run)
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>

@@ -28,14 +28,19 @@ object ScaleProbe {
     spark.range(1000000).selectExpr("sum(id % 7)").collect() // warmup
 
     val base = Tables.events(spark, sfDir)
-    val nUsers = 200L // > actual user cardinality: keeps replicas disjoint
+    // offsets derived from the data so replicas stay disjoint at ANY sf
+    // (hardcoded strides would silently collide on bigger inputs and
+    // fake sublinear scaling)
+    val bounds = base.agg(max(col("user_id")), max(col("event_id"))).head()
+    val userStride = bounds.getLong(0) + 1
+    val idStride = bounds.getLong(1) + 1
 
     def replicate(n: Int): DataFrame =
       (0 until n).map { i =>
         base.select(
-          (col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("event_id") + lit(i * idStride)).as("event_id"),
           col("ts"),
-          (col("user_id") + lit(i * nUsers)).as("user_id"),
+          (col("user_id") + lit(i * userStride)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)
 

@@ -604,7 +604,11 @@ object SparkEntry {
     // the banded equi-join at optimization time. Same oracle as q53 —
     // the rewrite must be invisible in the results.
     "q54_banded_rule_align" -> ((s, d) => {
-      s.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
+      // defensively ensure the rule on driver-foreign sessions; append,
+      // never clobber pre-existing extra optimizations (idempotent)
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandedIntervalJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BandedIntervalJoinRule
       val e = Tables.events(s, d)
       val l = e.where(col("event_type") === "click").select(
         col("event_id").as("l_id"),

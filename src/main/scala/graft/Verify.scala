@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one optimizer config for every query (q54 relies on the rule;
+    // registering here keeps plans consistent across the whole run)
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

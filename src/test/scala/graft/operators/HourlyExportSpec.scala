@@ -42,8 +42,7 @@ class HourlyExportSpec extends AnyFunSuite {
     val frame = HourlyExport.hourlyFrame(df, col("kit"), col("ts"), col("v"),
       h0, h0 + 3600)
     val out = Files.createTempDirectory("graft_export_").toString + "/csv"
-    val n = HourlyExport.writeCsv(frame, out)
-    assert(n == 4)
+    HourlyExport.writeCsv(frame, out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
     assert(dirs == Set("k=kitA", "k=kitB"))

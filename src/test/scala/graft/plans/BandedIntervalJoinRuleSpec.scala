@@ -10,6 +10,7 @@ class BandedIntervalJoinRuleSpec extends AnyFunSuite {
 
   private def pairs(withRule: Boolean): (String, Set[(Long, Long)]) = {
     import spark.implicits._
+    val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       if (withRule) Seq(BandedIntervalJoinRule) else Nil
     try {
@@ -18,7 +19,7 @@ class BandedIntervalJoinRuleSpec extends AnyFunSuite {
       val joined = a.join(b, abs(col("x") - col("y")) <= lit(5L))
       val plan = joined.queryExecution.executedPlan.toString
       (plan, joined.as[(Long, Long)].collect().toSet)
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally spark.experimental.extraOptimizations = saved // restore global reg
   }
 
   test("abs(x-y)<=tol joins rewrite from nested-loop to banded equi-join") {
@@ -36,6 +37,7 @@ class BandedIntervalJoinRuleSpec extends AnyFunSuite {
 
   test("rule leaves non-matching joins alone") {
     import spark.implicits._
+    val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = Seq(BandedIntervalJoinRule)
     try {
       val a = Seq(1L, 2L).toDF("x")
@@ -46,6 +48,6 @@ class BandedIntervalJoinRuleSpec extends AnyFunSuite {
       assert(a.join(b, abs(col("x") - col("y")) < lit(2L)).count() == 3)
       // left join with the abs cond: out of scope, still correct
       assert(a.join(b, abs(col("x") - col("y")) <= lit(1L), "left").count() == 3)
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally spark.experimental.extraOptimizations = saved
   }
 }
