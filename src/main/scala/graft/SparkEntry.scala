@@ -660,7 +660,17 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(array(
           eS(col("ts")), floor(col("value")).cast("long")))).as("series"))
-        .select(col("user_id"), to_json(col("series")).as("series_json")))
+        .select(col("user_id"), to_json(col("series")).as("series_json"))),
+
+    // Q58 — sliding-window Grubbs sweep (A5): half-overlapping windows,
+    // recursive test per (key, window). Rows-only (Student-t quantiles
+    // are not SQL-expressible); exactness via GrubbsSpec/OutliersSpec.
+    "q58_grubbs_sweep" -> ((s, d) =>
+      Outliers.grubbsSweep(Tables.events(s, d), col("user_id"),
+          col("ts"), col("value"), 7 * 86400)
+        .select(col("user_id"), col("win_start"),
+          round(col("keep_lo"), 4).as("keep_lo"),
+          round(col("keep_hi"), 4).as("keep_hi")))
   )
 
   // ------------------------------------------------------------ oracle SQL

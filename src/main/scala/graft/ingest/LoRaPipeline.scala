@@ -28,4 +28,22 @@ object LoRaPipeline {
 
   def roundTripBme280(temp: Column, rv: Column, press: Column): Column =
     decodeBme280(encodeBme280(temp, rv, press))
+
+  /** Field-name synonym translation — SURVEY P1 (reference:
+    * MyDatacollector.py:332-348, dict :240-276): decoded field names are
+    * normalized through a synonym map (NL/EN aliases, punctuation
+    * variants); unknown names pass through unchanged (the reference
+    * prefixes them, callers decide). Pure `element_at` on a literal map
+    * — codegen'd, no UDF. */
+  private val fieldSynonyms: Map[String, String] = Map(
+    "pm2.5" -> "pm25", "pm_25" -> "pm25", "pm1.0" -> "pm1",
+    "pm_10" -> "pm10", "temperature" -> "temp", "temperatuur" -> "temp",
+    "humidity" -> "rv", "hum" -> "rv", "rh" -> "rv",
+    "pressure" -> "luchtdruk", "pres" -> "luchtdruk",
+    "windspeed" -> "ws", "winddirection" -> "wr", "geolocation" -> "geohash")
+
+  def normalizeFieldName(c: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, element_at, lower, map, lit, typedLit}
+    coalesce(element_at(typedLit(fieldSynonyms), lower(c)), lower(c))
+  }
 }

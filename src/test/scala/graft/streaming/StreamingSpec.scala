@@ -138,6 +138,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(w0 + 40 * 60) == (8.0, 1L))
   }
 
+  test("stream-static dimension join enriches each micro-batch (J2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("A", "proj1", true), ("B", "proj2", false))
+      .toDF("kit", "project", "active") // the Sensors/TTNtable snapshot
+    val mem = MemoryStream[KitEvent]
+    val enriched = mem.toDS().toDF()
+      .join(broadcast(dim), Seq("kit"), "left")
+      .where(col("active")) // unregistered/inactive kits drop (ref :1694-1700)
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData(KitEvent("A", 1000L, 1.0, "u1"), KitEvent("B", 1000L, 2.0, "u1"),
+      KitEvent("C", 1000L, 3.0, "u1"))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+    q.stop()
+    // only the active registered kit survives, carrying its metadata
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("kit") == "A" &&
+      rows.head.getAs[String]("project") == "proj1")
+  }
+
+  test("field-name synonym translation (P1)") {
+    import graft.ingest.LoRaPipeline
+    val out = Seq("PM2.5", "temperature", "hum", "pm25", "weird_field")
+      .toDF("f")
+      .select(LoRaPipeline.normalizeFieldName(col("f")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("pm25", "temp", "rv", "pm25", "weird_field"))
+  }
+
   test("multimodal decode stub: typed mapPartitions round-trip") {
     import graft.operators.Multimodal
     val media = Seq(
