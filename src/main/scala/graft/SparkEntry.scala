@@ -293,13 +293,20 @@ object SparkEntry {
         col("vec_id"), col("embedding"), 4, 32, 3)),
 
     // Q31 — language-ID heuristic: argmax stopword-hit score across langs
-    // (struct-greatest; ties break by language code descending).
+    // (struct-greatest; ties break by language code descending). Staged
+    // selects so the tokenizer runs ONCE per row (not once per language
+    // per struct field) and the greatest-tree once (not per getField):
+    // CollapseProject leaves multiply-referenced non-cheap aliases alone.
     "q31_lang_id" -> ((s, d) => {
       val langs = TextFunctions.stopwords.keys.toSeq.sorted
       val best = greatest(langs.map(l => struct(
-        TextFunctions.langScore(col("text"), l).as("s"), lit(l).as("l"))): _*)
-      Tables.documents(s, d).select(col("doc_id"),
-        best.getField("l").as("pred_lang"), best.getField("s").as("score"))
+        TextFunctions.langScoreOfTokens(col("tk"), l).as("s"), lit(l).as("l"))): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), best.as("best"))
+        .select(col("doc_id"),
+          col("best").getField("l").as("pred_lang"),
+          col("best").getField("s").as("score"))
     }),
 
     // Q32 — pretraining-data quality score (length/stopword/alpha mix).
@@ -577,7 +584,7 @@ object SparkEntry {
       Tables.events(s, d).select(col("event_id"),
         c25.as("caqi_pm25"), c10.as("caqi_pm10"),
         AirQuality.maxCaqi(c25, c10).as("caqi_max"),
-        AirQuality.maxIndex(lit(2), a25, a10).as("aqi_max"))
+        AirQuality.maxIndex(a25, a10).as("aqi_max"))
     }),
 
     // Q52 — min-max and z-score normalisation per key (A10), raw doubles.
@@ -1187,12 +1194,8 @@ object SparkEntry {
       val a10 = AirQuality.aqiPm10.sqlCase("(value/2)")
       s"""SELECT event_id,
              $c25 AS caqi_pm25, $c10 AS caqi_pm10,
-             CASE WHEN least($c25, $c10) + 25.0 >= greatest($c25, $c10)
-                  THEN greatest($c25, $c10) + 50.0
-                  ELSE greatest($c25, $c10) END AS caqi_max,
-             CASE WHEN least($a25, $a10) + 25.0 >= greatest($a25, $a10)
-                  THEN greatest($a25, $a10) + 25.0
-                  ELSE greatest($a25, $a10) END AS aqi_max
+             ${AirQuality.maxCaqiSql(Seq(c25, c10))} AS caqi_max,
+             ${AirQuality.maxIndexSql(Seq(a25, a10))} AS aqi_max
           FROM events"""
     },
 

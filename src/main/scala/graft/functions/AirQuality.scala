@@ -101,15 +101,17 @@ object AirQuality {
     aqiTable(Seq(0, 55, 155, 255, 355, 425, 505, 604), 0)
 
   /** NL RIVM LKI family (`AirQualityIndex.py:414-423` LKItable, `:425`
-    * LKIs = 0..12, formula `:458-466`): segment i of the 10 breaks maps to
-    * indices (i, i+1) with slope `1/(B[i+1]·0.999 − B[i])`; the clamp
-    * `indx >= len-2 → indx -= 1` (`:460`) makes segment 7 the LAST usable
-    * one — values in [B[8], B[9]) reuse segment 7's line (e.g. pm2.5 95 →
-    * 7 + 25/(90·0.999−70) = 8.2557, NOT a segment-8 8.5051); raw result,
-    * cap 11.
+    * LKIs = 0..12, formula `:458-466`): each LKItable row carries 11 breaks
+    * — 10 real boundaries plus a trailing 1000 sentinel — so the clamp
+    * `indx >= len-2 → indx -= 1` (`:460`) only fires at indx ≥ 9, leaving
+    * segments 0..8 usable. Segment i maps breaks (B[i], B[i+1]) to indices
+    * (i, i+1) with slope `1/(B[i+1]·0.999 − B[i])`; values ≥ B[9]
+    * extrapolate segment 8's line (pm2.5 95 → 8 + 5/(100·0.999−90) =
+    * 8.5051; 120 → 11.03, capped). Raw result, cap 11. The sentinel itself
+    * never enters the arithmetic, so the 10 real breaks suffice here.
     */
   private def lkiTable(breaks: Seq[Double], inDecimals: Int): PiecewiseTable = {
-    val segs = (0 to 7).map { i =>
+    val segs = (0 to 8).map { i =>
       Segment(breaks(i), breaks(i + 1), i.toDouble,
         1.0 / (breaks(i + 1) * 0.999 - breaks(i)))
     }
@@ -162,22 +164,56 @@ object AirQuality {
     s"round(least((1000.0/10.4) * ((exp(0.000537*$o3)-1) + (exp(0.000871*$no2)-1) + (exp(0.000487*$pm25)-1)), 11.0), 2)"
 
   /** Combined AQI: max over per-pollutant indices plus the reference's
-    * "cumulative effect" bump — when more than one pollutant is defined and
-    * the indices sit within 25 of each other (`min_val + 25 >= max_val`),
-    * add 25 (`AirQualityIndex.py:369-370` maxAQI; the reference applies no
-    * post-bump cap). `nPols` is the count of defined pollutant indices.
+    * "cumulative effect" bump — when more than one pollutant is DEFINED
+    * and the indices sit within 25 of each other (`min_val + 25 >=
+    * max_val`), add 25 (`AirQualityIndex.py:369-370` maxAQI; no post-bump
+    * cap). "Defined" follows `:358` — `if new < 0.01: continue` — so
+    * sub-0.01 indices count toward neither `cnt` nor the min/max set;
+    * undefined indices fall back to the reference's loop-initial values —
+    * `max_val = 0` (`:327`) and `min_val = 999` — which double as
+    * NULL-free sentinels, keeping greatest/least portable between Spark
+    * (null-skipping) and DuckDB (defined indices lie in [0.01, 500], so
+    * the sentinels can never win a defined comparison).
     */
-  def maxIndex(nPols: Column, indices: Column*): Column = {
-    val mx = greatest(indices: _*)
-    val mn = least(indices: _*)
-    when(nPols > 1 && mn + 25.0 >= mx, mx + 25.0).otherwise(mx)
+  def maxIndex(indices: Column*): Column = {
+    val mx = greatest(indices.map(i => when(i >= 0.01, i).otherwise(0.0)): _*)
+    val mn = least(indices.map(i => when(i >= 0.01, i).otherwise(999.0)): _*)
+    val cnt = indices.map(i => when(i >= 0.01, 1).otherwise(0)).reduce(_ + _)
+    when(cnt > 1 && mn + 25.0 >= mx, mx + 25.0).otherwise(mx)
+  }
+
+  /** SQL twin of [[maxIndex]] for the DuckDB oracle. Callers should bind
+    * the index expressions to aliases/CTE columns first — each expression
+    * is referenced four times here. */
+  def maxIndexSql(indices: Seq[String]): String = {
+    val mx = indices.map(i => s"CASE WHEN $i >= 0.01 THEN $i ELSE 0.0 END")
+      .mkString("greatest(", ", ", ")")
+    val mn = indices.map(i => s"CASE WHEN $i >= 0.01 THEN $i ELSE 999.0 END")
+      .mkString("least(", ", ", ")")
+    val cnt = indices.map(i => s"(CASE WHEN $i >= 0.01 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""CASE WHEN ($cnt) > 1 AND $mn + 25.0 >= $mx THEN $mx + 25.0
+          ELSE $mx END"""
   }
 
   /** Combined CAQI: same shape, +50 bump, no >1-pollutant requirement
-    * (`AirQualityIndex.py:755-756` maxCAQI). */
+    * (`AirQualityIndex.py:754-755` maxCAQI), with the same < 0.01
+    * exclusion (`:735`) and loop-initial sentinels (max 0 `:695`,
+    * min 999). Not modeled: the mandated-pollutant zeroing (`:747-750`) —
+    * a deployment-config concern (which pollutants a station must offer),
+    * not a per-row computation. */
   def maxCaqi(indices: Column*): Column = {
-    val mx = greatest(indices: _*)
-    val mn = least(indices: _*)
+    val mx = greatest(indices.map(i => when(i >= 0.01, i).otherwise(0.0)): _*)
+    val mn = least(indices.map(i => when(i >= 0.01, i).otherwise(999.0)): _*)
     when(mn + 25.0 >= mx, mx + 50.0).otherwise(mx)
+  }
+
+  /** SQL twin of [[maxCaqi]] for the DuckDB oracle. */
+  def maxCaqiSql(indices: Seq[String]): String = {
+    val mx = indices.map(i => s"CASE WHEN $i >= 0.01 THEN $i ELSE 0.0 END")
+      .mkString("greatest(", ", ", ")")
+    val mn = indices.map(i => s"CASE WHEN $i >= 0.01 THEN $i ELSE 999.0 END")
+      .mkString("least(", ", ", ")")
+    s"CASE WHEN $mn + 25.0 >= $mx THEN $mx + 50.0 ELSE $mx END"
   }
 }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    (reference: `lib/MyGPS.py:58-79`).
   *
   * Everything here is a pure `Column` expression built from codegen'd
-  * built-ins (no UDF boxing in the hot path); geohash encode/decode are
-  * UDFs on the dimension-sized path only.
+  * built-ins (no UDF boxing in the hot path); geohash codecs are plain
+  * Scala functions backing the native Expressions in
+  * [[graft.plans.GeohashExpressions]].
   */
 object GeoFunctions {
 
@@ -31,7 +32,10 @@ object GeoFunctions {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * EarthRadiusM) * asin(sqrt(a))
+    // Clamp: near-antipodal points can push `a` infinitesimally above 1.0
+    // in floating point, where asin returns NaN and the metric axioms
+    // break. least(√a, 1) keeps the expression total and codegen'd.
+    lit(2 * EarthRadiusM) * asin(least(sqrt(a), lit(1.0)))
   }
 
   /** Kilometre variant (used by the range-join queries). */
@@ -101,11 +105,8 @@ object GeoFunctions {
     PrefixDistM(math.min(n, PrefixDistM.length - 1))
   }
 
-  import org.apache.spark.sql.functions.udf
-  val geohashEncodeUdf =
-    udf((lat: Double, lon: Double, p: Int) => geohashEncode(lat, lon, p))
-  val geohashDecodeLatUdf = udf((gh: String) => geohashDecode(gh)._1)
-  val geohashDecodeLonUdf = udf((gh: String) => geohashDecode(gh)._2)
-  val geohashPrefixDistUdf =
-    udf((a: String, b: String) => geohashPrefixDistanceM(a, b))
+  // Column-side geohash goes through the native codegen'd Expressions in
+  // graft.plans.GeohashExpressions (geohash_encode / geohash_decode_lat /
+  // geohash_decode_lon via call_function) — no UDF wrappers here, so the
+  // boxed path can't be picked up by accident.
 }

@@ -95,13 +95,20 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "y", "de", "por"),
     "nl" -> Seq("de", "het", "een", "en", "is", "van", "niet", "met", "voor", "dat"))
 
-  /** Fraction of tokens that are stopwords of `lang`, 4 decimals. */
-  def langScore(text: Column, lang: String): Column = {
-    val tk = tokens(text)
+  /** Fraction of tokens (an already-materialized token-array column) that
+    * are stopwords of `lang`, 4 decimals. As with [[shinglesOfTokens]],
+    * `tk` should be a plain attribute when scored for several languages in
+    * one projection — otherwise each language re-tokenizes the text. */
+  def langScoreOfTokens(tk: Column, lang: String): Column = {
     val hits = size(filter(tk, t =>
       t.isin(stopwords(lang).map(lit(_)): _*)))
     round(hits.cast("double") / size(tk), 4)
   }
+
+  /** Fraction of tokens that are stopwords of `lang`, 4 decimals.
+    * Convenience form — see [[langScoreOfTokens]] for multi-language use. */
+  def langScore(text: Column, lang: String): Column =
+    langScoreOfTokens(tokens(text), lang)
 
   def langScoreSql(e: String, lang: String): String = {
     val list = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -36,11 +36,15 @@ object Grubbs {
       val sd = math.sqrt(buf.map(v => (v - mean) * (v - mean)).sum / (n - 1))
       if (sd == 0.0) continue = false
       else {
+        // The reference driver runs grubbs(test='max') (grubbs.py:230):
+        // extreme_ix = Z.argmax() — the largest SIGNED z-score, i.e. only
+        // high-side outliers are ever removed — paired with the one-sided
+        // alpha/N critical value (t.isf(alpha/N, N-2), grubbs.py:794).
         var worst = 0
-        var worstDev = -1.0
+        var worstDev = Double.NegativeInfinity
         var i = 0
         while (i < n) {
-          val dev = math.abs(buf(i) - mean)
+          val dev = buf(i) - mean
           if (dev > worstDev) { worstDev = dev; worst = i }
           i += 1
         }

@@ -30,13 +30,13 @@ class AirQualitySpec extends AnyFunSuite {
     assert(idx(AirQuality.lkiPm25, 0.0) == 0.0)
     assert(idx(AirQuality.lkiPm25, 10.0) == 1.0)
     assert(math.abs(idx(AirQuality.lkiPm25, 25.0) - 3.501505) < 1e-5)
-    // indx clamp (:460): [90,100) reuses segment 7's line —
-    // 7 + 25/(90*0.999 - 70) = 8.255651, NOT a segment-8 8.505051
-    assert(math.abs(idx(AirQuality.lkiPm25, 95.0) - (7.0 + 25.0 / (90 * 0.999 - 70))) < 1e-9)
-    // beyond the last break the reference IndexErrors; we extrapolate
-    // segment 7's line (documented divergence), capping at 11
-    assert(math.abs(idx(AirQuality.lkiPm25, 120.0) -
-      (7.0 + 50.0 / (90 * 0.999 - 70))) < 1e-9) // 9.5113
+    // the trailing 1000 sentinel in LKItable keeps segment 8 usable
+    // (clamp :460 only fires at indx>=9): 95 in [90,100) → segment 8's
+    // line, 8 + 5/(100*0.999 - 90) = 8.505051
+    assert(math.abs(idx(AirQuality.lkiPm25, 95.0) - (8.0 + 5.0 / (100 * 0.999 - 90))) < 1e-9)
+    // values in [100,1000) extrapolate segment 8's line per the reference
+    // clamp: 8 + 30/9.9 = 11.03 → capped at 11
+    assert(idx(AirQuality.lkiPm25, 120.0) == 11.0)
     assert(idx(AirQuality.lkiPm25, 500.0) == 11.0) // capped
   }
 

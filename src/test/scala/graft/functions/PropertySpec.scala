@@ -48,15 +48,20 @@ class PropertySpec extends AnyFunSuite {
       val s = math.pow(math.sin(dLat / 2), 2) +
         math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) *
           math.pow(math.sin(dLon / 2), 2)
-      2 * 6371000.0 * math.asin(math.sqrt(s))
+      // same clamp as GeoFunctions.haversineM: s can exceed 1.0 by an ulp
+      // near antipodes, where asin would return NaN
+      2 * 6371000.0 * math.asin(math.min(math.sqrt(s), 1.0))
     }
     val genP = Gen.zip(genLat, genLon)
     check(Prop.forAll(genP, genP) { (a, b) =>
       math.abs(h(a, b) - h(b, a)) < 1e-6
     })
     check(Prop.forAll(genP)(a => h(a, a) == 0.0))
+    // ~1 m tolerance: floating-point haversine near antipodes legitimately
+    // violates the exact inequality (found by ScalaCheck at
+    // (-89.999,179.999)/(89.999,0.0) via a midpoint)
     check(Prop.forAll(genP, genP, genP) { (a, b, c) =>
-      h(a, c) <= h(a, b) + h(b, c) + 1e-6
+      h(a, c) <= h(a, b) + h(b, c) + 1.0
     })
   }
 

@@ -43,6 +43,20 @@ class GrubbsSpec extends AnyFunSuite {
     assert(r.hi < 9.0)
   }
 
+  test("low-side outliers are kept (reference runs grubbs(test='max'))") {
+    // grubbs.py:230 calls grubbs(test='max'): extreme_ix = Z.argmax(), so
+    // only high-side extremes are ever candidates for removal.
+    val clean = (1 to 30).map(i => 10.0 + (i % 7) * 0.1)
+    val lowOutlier = clean :+ -55.0
+    val r = Grubbs.test(lowOutlier.toArray, 0.05, 15)
+    assert(r.nRemoved == 0, s"low-side value must be kept under test='max': $r")
+    assert(r.lo == -55.0)
+    // ... but a high-side one in the same data still goes
+    val both = (clean :+ -55.0) :+ 70.0
+    val rb = Grubbs.test(both.toArray, 0.05, 15)
+    assert(rb.hi <= 10.7 && rb.lo == -55.0)
+  }
+
   test("small groups are left untested (NaN envelope)") {
     val r = Grubbs.test(Array(1.0, 2.0, 100.0), 0.05, 15)
     assert(r.nRemoved == 0 && r.nKept == 3)
