@@ -196,19 +196,18 @@ object SparkEntry {
     }),
 
     // Q20 — geo range join (J6/F5): pairs within 3000 km haversine.
+    // Geohash-cell blocked (GeoJoin): candidates from a cell equi-join
+    // with radius-derived neighbor reach, exact haversine refine — no
+    // nested-loop; same rows as the all-pairs oracle. Synthetic lat stays
+    // within ±60, which bounds the east-west reach.
     "q20_geo_join" -> ((s, d) => {
       val sup = Tables.supplier(s, d).select(col("s_suppkey"),
         ((col("s_suppkey") * 7 % 120) - 60 + 0.25).as("lat"),
         ((col("s_suppkey") * 13 % 360) - 180 + 0.5).as("lon"))
-      val a = sup.select(col("s_suppkey").as("a_key"),
-        col("lat").as("a_lat"), col("lon").as("a_lon"))
-      val b = sup.select(col("s_suppkey").as("b_key"),
-        col("lat").as("b_lat"), col("lon").as("b_lon"))
-      a.join(b, col("a_key") < col("b_key"))
-        .withColumn("dist_km", GeoFunctions.haversineKm(
-          col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
-        .where(col("dist_km") <= 3000.0)
-        .select(col("a_key"), col("b_key"), round(col("dist_km"), 2).as("dist_km"))
+      GeoJoin.pairsWithinRadius(sup, col("s_suppkey"), col("lat"), col("lon"),
+          radiusM = 3000000.0, maxAbsLat = 60.0)
+        .select(col("a_key"), col("b_key"),
+          round(col("dist_m") / 1000.0, 2).as("dist_km"))
     }),
 
     // Q21 — full-outer metadata diff (J7).
@@ -677,7 +676,21 @@ object SparkEntry {
           col("ts"), col("value"), 7 * 86400)
         .select(col("user_id"), col("win_start"),
           round(col("keep_lo"), 4).as("keep_lo"),
-          round(col("keep_hi"), 4).as("keep_hi")))
+          round(col("keep_hi"), 4).as("keep_hi"))),
+
+    // Q59 — the reference's FindNeighbours proper (J6, MyGPS.py:320-373):
+    // kits within the DEFAULT 5 km radius over a dense NL-latitude point
+    // cloud. At this radius GeoJoin auto-picks precision 4 and the classic
+    // own-cell + 8-neighbor block (kx = ky = 1).
+    "q59_geo_neighbours" -> ((s, d) => {
+      val kits = Tables.supplier(s, d).select(col("s_suppkey"),
+        (lit(51.0) + (col("s_suppkey") % 200) * 0.004).as("lat"),
+        (lit(5.0) + (col("s_suppkey") * 3 % 200) * 0.006).as("lon"))
+      GeoJoin.pairsWithinRadius(kits, col("s_suppkey"), col("lat"), col("lon"),
+          radiusM = 5000.0, maxAbsLat = 52.0)
+        .select(col("a_key"), col("b_key"),
+          round(col("dist_m"), 2).as("dist_m"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1255,6 +1268,21 @@ object SparkEntry {
                   ARRAY[epoch_us(ts)//1000000, CAST(floor(value) AS BIGINT)]
                   ORDER BY epoch_us(ts)//1000000, CAST(floor(value) AS BIGINT)))
                   AS series_json
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+
+    "q59_geo_neighbours" ->
+      """WITH s AS (SELECT s_suppkey,
+                51.0 + (s_suppkey % 200) * 0.004 AS lat,
+                5.0 + (s_suppkey*3 % 200) * 0.006 AS lon FROM supplier)
+         SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+                round(2*6371000*asin(sqrt(
+                  pow(sin(radians(b.lat-a.lat)/2),2) +
+                  cos(radians(a.lat))*cos(radians(b.lat))
+                    *pow(sin(radians(b.lon-a.lon)/2),2))), 2) AS dist_m
+         FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+         WHERE 2*6371000*asin(sqrt(
+                  pow(sin(radians(b.lat-a.lat)/2),2) +
+                  cos(radians(a.lat))*cos(radians(b.lat))
+                    *pow(sin(radians(b.lon-a.lon)/2),2))) <= 5000.0"""
   )
 }
