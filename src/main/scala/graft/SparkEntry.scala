@@ -267,10 +267,14 @@ object SparkEntry {
       Dedup.exact(all, col("doc_id"), col("text"))
     }),
 
-    // Q26 — exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    // Q26 — exact word-3-gram Jaccard near-dup pairs (inverted-index join)
+    // with the hot-shingle df-cap active: shingles in >100 docs are
+    // dropped from candidate generation (bounded per-key fan-out — the
+    // 100 TB config), Jaccard verified exactly on the full shingle sets.
+    // Same rows as the uncapped all-pairs oracle.
     "q26_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d),
-        col("doc_id"), col("text"), 3, 0.5)),
+        col("doc_id"), col("text"), 3, 0.5, maxShingleDf = Some(100))),
 
     // Q27 — MinHash(16) + LSH(4 bands × 4 rows) candidates, exact verify.
     "q27_minhash_lsh" -> ((s, d) =>

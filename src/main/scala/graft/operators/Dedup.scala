@@ -15,10 +15,15 @@ import graft.functions.TextFunctions._
   *   - exact: one shuffle on the 60-bit content hash.
   *   - n-gram Jaccard: the shingle inverted index explodes ~|doc| rows per
   *     document; the self-join shuffles on the shingle string. Hot
-  *     shingles (stopword trigrams) are the skew risk — production runs
-  *     should drop shingles with document frequency above a cap, which is
-  *     also statistically sound (ubiquitous shingles carry no signal).
-  *     AQE skew-join handles the remainder.
+  *     shingles (stopword trigrams) are the skew risk: one ubiquitous
+  *     shingle fans out quadratically within its join key. The
+  *     `maxShingleDf` cap drops shingles with document frequency above
+  *     the cap from CANDIDATE GENERATION only (statistically sound —
+  *     ubiquitous shingles carry no signal), bounding per-shingle
+  *     fan-out at cap²; the Jaccard itself is then verified exactly on
+  *     the FULL shingle sets of the surviving candidate pairs, so the
+  *     reported similarity is unchanged. AQE skew-join handles the
+  *     remainder.
   *   - MinHash/LSH replaces the quadratic verify set with banded
   *     signatures: k min-hashes per doc (one shuffle), band keys, and a
   *     bucket self-join whose fan-out is bounded by band collision rate.
@@ -47,23 +52,62 @@ object Dedup {
     df.select(id.as("id"), tokens(text).as("__tk"))
       .select(col("id"), explode(shinglesOfTokens(col("__tk"), n)).as("s"))
 
-  /** All document pairs with word n-gram Jaccard ≥ threshold, via a
-    * shingle inverted-index self-join (exact, no approximation). */
-  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(df, id, text, n)
+  /** Exact Jaccard over a (d1, d2) candidate pair set: join the pairs
+    * back to the FULL shingle sets, count the intersection, filter by
+    * threshold. Shared verify stage of the capped inverted-index path
+    * and the LSH path — candidates only, never all pairs. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    cand
+      .join(sh.select(col("id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("id").as("d2"), col("s").as("s2")), "d2")
+      .where(col("s") === col("s2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
       .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
       .withColumn("jac", round(col("n_inter") /
         (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
       .where(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** All document pairs with word n-gram Jaccard ≥ threshold, via a
+    * shingle inverted-index self-join. With `maxShingleDf = Some(cap)`,
+    * shingles present in more than `cap` documents are excluded from
+    * candidate generation (bounded fan-out — the 100 TB configuration);
+    * the Jaccard of each surviving candidate is still computed exactly
+    * on the full shingle sets. A true pair is missed only if EVERY
+    * shared shingle exceeds the cap — at threshold ≥ 0.5 that requires
+    * a document made entirely of ubiquitous boilerplate, which is
+    * precisely the content a dedup pass should not key on. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        n: Int, threshold: Double,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+    maxShingleDf match {
+      case None =>
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+          .withColumn("jac", round(col("n_inter") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
+          .where(col("jac") >= threshold)
+          .select(col("d1"), col("d2"), col("jac"))
+      case Some(cap) =>
+        val kept = sh.join(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= cap).select(col("s")), Seq("s"))
+        val cand = kept.as("a").join(kept.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
+        verifyJaccard(cand, sh, threshold)
+    }
   }
 
   /** MinHash signatures: k column-wise minima of permuted shingle
@@ -95,19 +139,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2")).distinct()
     // Exact verify on the candidate set only.
-    val sh = shingleRows(df, id, text, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.select(col("id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("id").as("d2"), col("s").as("s2")), "d2")
-      .where(col("s") === col("s2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
-      .withColumn("jac", round(col("n_inter") /
-        (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
-      .where(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), col("jac"))
+    verifyJaccard(cand, shingleRows(df, id, text, n), threshold)
   }
 
   /** 32-bit token-frequency-weighted SimHash per document.

@@ -24,6 +24,23 @@ import graft.Tables
   */
 object Replay {
 
+  /** One tmp root per JVM: every replay reuses the same archive/input/
+    * checkpoint subdirs (cleared at call start), so repeated runs leave
+    * no orphan dirs; the root itself is removed at JVM exit. */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft_replay_session_")
+    sys.addShutdownHook(deleteRecursively(p))
+    p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Replays the events table through a streaming upsert archive, then
     * returns the archived rows (ts normalized like Tables does). */
   def replayEventsToArchive(spark: SparkSession, sfDir: String): DataFrame = {
@@ -32,12 +49,15 @@ object Replay {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val archiveDir = Files.createTempDirectory("graft_archive_").toString + "/events"
+    // Fresh run: clear the previous run's dirs (also resets the stream
+    // checkpoint — reusing it would make the source skip the input files).
+    Seq("archive", "in", "ckpt").foreach(n => deleteRecursively(tmpRoot.resolve(n)))
+    val archiveDir = tmpRoot.resolve("archive").toString + "/events"
     // The file source wants a directory; stage the dump as TWO links so
     // two micro-batches replay the same telegrams — the archive upsert
     // must collapse the duplicates (REPLACE INTO semantics), which makes
     // the parity check cover dedup, not just pass-through.
-    val inDir = Files.createTempDirectory("graft_replay_")
+    val inDir = Files.createDirectories(tmpRoot.resolve("in"))
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     Files.createSymbolicLink(inDir.resolve("replay-0.parquet"), src)
     Files.createSymbolicLink(inDir.resolve("replay-1.parquet"), src)
@@ -47,8 +67,7 @@ object Replay {
       .parquet(inDir.toString)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ArchiveSink.upsert(batch, archiveDir,
           keys = Seq("event_id"), version = "ts")
@@ -56,7 +75,7 @@ object Replay {
       .start()
     q.awaitTermination()
     // Same ns→timestamp normalization as the batch path.
-    val raw = spark.read.parquet(archiveDir)
+    val raw = ArchiveSink.read(spark, archiveDir)
     raw.schema.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

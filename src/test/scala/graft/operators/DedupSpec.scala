@@ -36,6 +36,45 @@ class DedupSpec extends AnyFunSuite {
     assert(j13.getAs[Double]("jac") == 1.0)
   }
 
+  test("hot-shingle df-cap: same pairs, bounded fan-out, hot shingles excluded") {
+    import graft.functions.TextFunctions
+    // 40 docs sharing a ubiquitous boilerplate header (the hot-shingle
+    // skew shape: without a cap, each boilerplate trigram fans out 40²
+    // within its join key) + one genuinely near-dup pair of distinctive
+    // docs. Boilerplate-only overlap stays under the 0.5 threshold.
+    val boiler = "subscribe to our newsletter for daily updates today"
+    val corpus = ((1 to 40).map(i =>
+      (i.toLong, s"$boiler unique document number ${i * 3} content ${i * 7} distinct tail ${i * 13}")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")))
+      .toDF("doc_id", "text")
+
+    // the hot shingles really exceed the cap in this corpus
+    val sh = corpus.select(col("doc_id").as("id"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("id"), explode(TextFunctions.shinglesOfTokens(col("tk"), 3)).as("s"))
+    val maxDf = sh.groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(maxDf == 40, s"expected a df-40 hot shingle, got $maxDf")
+
+    val uncapped = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.5,
+        maxShingleDf = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.keySet == Set((100L, 101L)))
+    assert(capped == uncapped) // identical pairs AND identical exact jaccard
+  }
+
+  test("df-cap on the planted-near-dup corpus reproduces the uncapped pairs") {
+    val docs001 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs001, col("doc_id"), col("text"), 3, 0.5, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = pairs(None)
+    assert(uncapped.nonEmpty)
+    assert(pairs(Some(100)) == uncapped)
+  }
+
   test("minhash LSH pairs are a subset of exact pairs, same jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

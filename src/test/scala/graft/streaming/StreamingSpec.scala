@@ -20,7 +20,7 @@ class StreamingSpec extends AnyFunSuite {
     ArchiveSink.upsert(b1, dir, Seq("id"), "v")
     ArchiveSink.upsert(b2, dir, Seq("id"), "v")
     ArchiveSink.upsert(b2, dir, Seq("id"), "v") // exact replay: no change
-    val out = spark.read.parquet(dir).orderBy("id")
+    val out = ArchiveSink.read(spark, dir).select("id", "v", "x").orderBy("id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 10L, 1.0), (2L, 20L, 2.5), (3L, 10L, 3.0)))
   }
@@ -29,7 +29,51 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_test_archive2_").toString + "/t"
     ArchiveSink.upsert(Seq((1L, 10L, 1.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
     ArchiveSink.upsert(Seq((1L, 10L, 9.9)).toDF("id", "v", "x"), dir, Seq("id"), "v")
-    assert(spark.read.parquet(dir).head().getDouble(2) == 9.9)
+    assert(ArchiveSink.read(spark, dir).select("id", "v", "x").head().getDouble(2) == 9.9)
+  }
+
+  test("archive upsert rewrites ONLY the partitions the batch touches") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_test_archive3_").toString + "/t"
+    val b1 = (0 until 200).map(i => (i.toLong, 10L, i * 1.0)).toDF("id", "v", "x")
+    ArchiveSink.upsert(b1, dir, Seq("id"), "v")
+
+    def checksums: Map[String, String] = {
+      val root = Paths.get(dir)
+      val s = JFiles.walk(root)
+      try s.iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          root.relativize(p).toString ->
+            md.digest(JFiles.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+      finally s.close()
+    }
+    val before = checksums
+    assert(before.size > 1, "expected a multi-partition archive")
+
+    // one-key batch → exactly one bucket may change
+    ArchiveSink.upsert(Seq((5L, 20L, 99.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    val after = checksums
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(64)).cast("int")).head.getInt(0)
+
+    // every file outside the touched bucket is byte-identical (same path,
+    // same md5), and something inside the touched bucket did change
+    val untouched = before.filterNot(
+      _._1.startsWith(s"${ArchiveSink.PartCol}=$touchedBucket/"))
+    untouched.foreach { case (p, sum) => assert(after.get(p).contains(sum),
+      s"untouched partition file $p was rewritten") }
+    assert(before != after, "the touched bucket should have been rewritten")
+
+    // and the merge semantics held
+    val out = ArchiveSink.read(spark, dir).where(col("id") === 5L)
+      .select("v", "x").head()
+    assert(out.getLong(0) == 20L && out.getDouble(1) == 99.0)
+    assert(ArchiveSink.read(spark, dir).count() == 200)
   }
 
   test("kit state machine: throttle, static run, geofence (batch mode)") {
