@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{AirQuality, Calibration, GeoFunctions, TextFunctions}
+import graft.functions.{AirQuality, Calibration, GeoFunctions, SensorTypes, TextFunctions}
 import graft.operators._
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -694,6 +694,56 @@ object SparkEntry {
           radiusM = 5000.0, maxAbsLat = 52.0)
         .select(col("a_key"), col("b_key"),
           round(col("dist_m"), 2).as("dist_m"))
+    }),
+
+    // Q60 — SensorTypes packed-fields parser + CalRefs resolution (F2
+    // proper): the reference's one-varchar-per-product catalogue
+    // (`name,unit[,cal];…`, cal = `REF/a0/a1|…`) parsed with pure Column
+    // string algebra, coefficients resolved against the CalRefs priority
+    // list (SDS011 first, BAM1020 fallback), broadcast-joined into the
+    // Taylor apply. Products without a resolvable ref calibrate with the
+    // identity [0,1] (ref='none').
+    "q60_sensor_fields" -> ((s, d) => {
+      val refs = Seq("SDS011", "BAM1020")
+      val dim = SensorTypes.fieldDim(s, refs).where(col("field") === "pm25")
+      val products = SensorTypes.CatalogRows.map(_._1)
+      val e = Tables.events(s, d).withColumn("product",
+        element_at(typedLit(products),
+          (col("user_id") % products.size).cast("int") + 1))
+      e.join(broadcast(dim), Seq("product"))
+        .groupBy(col("product"), col("unit"), col("ref"), col("a0"), col("a1"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Calibration.taylorCols(col("value") / 5,
+            col("a0"), col("a1"))), 2).as("cal_sum"))
+        .select(col("product"), col("unit"), col("ref"),
+          round(col("a0"), 4).as("a0"), round(col("a1"), 4).as("a1"),
+          col("n"), col("cal_sum"))
+    }),
+
+    // Q61 — order-3 polynomial fit per key (A8 full): the general
+    // np.polyfit(x, y, order) via power-sum aggregation + Cramer solve,
+    // one aggregate pass. x scaled to [-1,1] (30-day window mid-point)
+    // for a well-conditioned moment matrix — the same scaling any
+    // production fit over epoch time needs.
+    "q61_polyfit" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("x", (eUs(col("ts")) / 1e6 - 1705363200L) / 1296000.0)
+      RegressionOps.polyFit(e, col("event_type"), col("x"), col("value"), 3)
+    }),
+
+    // Q62 — batch geofence segmentation (W7): contiguous "kit not at
+    // home" periods from haversine home-distance > 118 m, the batch twin
+    // of the streaming geofence (UpdateValidity.sh awk state machine).
+    "q62_geofence_segments" -> ((s, d) => {
+      val lat0 = lit(51.4) + (col("user_id") % 100).cast("double") * 0.001
+      val lon0 = lit(6.08) + (col("user_id") % 50).cast("double") * 0.002
+      val lat = lat0 + when(col("event_id") % 17 < 3, 0.01).otherwise(0.0)
+      val dist = GeoFunctions.haversineM(lat0, lon0, lat, lon0)
+      WindowOps.geofenceSegments(Tables.events(s, d), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), dist, 118.0)
+        .select(col("user_id"), eS(col("seg_start")).as("seg_start"),
+          eS(col("seg_end")).as("seg_end"), col("n_rows"),
+          round(col("max_dist_m"), 2).as("max_dist_m"))
     })
   )
 
@@ -1287,6 +1337,48 @@ object SparkEntry {
          WHERE 2*6371000*asin(sqrt(
                   pow(sin(radians(b.lat-a.lat)/2),2) +
                   cos(radians(a.lat))*cos(radians(b.lat))
-                    *pow(sin(radians(b.lon-a.lon)/2),2))) <= 5000.0"""
+                    *pow(sin(radians(b.lon-a.lon)/2),2))) <= 5000.0""",
+
+    "q60_sensor_fields" -> {
+      val refs = Seq("SDS011", "BAM1020")
+      val products = SensorTypes.CatalogRows
+        .map(p => s"'${p._1}'").mkString("[", ", ", "]")
+      s"""WITH ${SensorTypes.fieldDimSqlCtes(refs)},
+          pm AS (SELECT * FROM sensor_fields WHERE field = 'pm25'),
+          e AS (SELECT $products[CAST(user_id % ${SensorTypes.CatalogRows.size} AS INT) + 1]
+                         AS product, value FROM events)
+          SELECT product, unit, ref, round(pm.a0, 4) AS a0, round(pm.a1, 4) AS a1,
+                 count(*) AS n,
+                 round(sum(pm.a0 * 1.0 + pm.a1 * (value / 5)), 2) AS cal_sum
+          FROM e JOIN pm USING (product)
+          GROUP BY product, unit, ref, pm.a0, pm.a1"""
+    },
+
+    "q61_polyfit" -> RegressionOps.polyFitSql(
+      """SELECT event_type AS k,
+                (epoch_us(ts)/1e6 - 1705363200) / 1296000.0 AS x,
+                value AS y FROM events""", 3),
+
+    "q62_geofence_segments" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+              51.4 + CAST(user_id % 100 AS DOUBLE) * 0.001 AS lat0,
+              6.08 + CAST(user_id % 50 AS DOUBLE) * 0.002 AS lon0,
+              CASE WHEN event_id % 17 < 3 THEN 0.01 ELSE 0.0 END AS dlat
+              FROM events),
+          dd AS (SELECT user_id, ts, event_id,
+              2*6371000*asin(least(sqrt(
+                pow(sin(radians((lat0 + dlat) - lat0)/2),2) +
+                cos(radians(lat0))*cos(radians(lat0 + dlat))
+                  *pow(sin(radians(lon0 - lon0)/2),2)), 1.0)) AS dist_m
+              FROM t),
+          f AS (SELECT *, dist_m > 118.0 AS away,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - row_number() OVER (PARTITION BY user_id, dist_m > 118.0
+                                 ORDER BY ts, event_id) AS grp
+              FROM dd)
+          SELECT user_id, epoch_us(min(ts))//1000000 AS seg_start,
+                 epoch_us(max(ts))//1000000 AS seg_end,
+                 count(*) AS n_rows, round(max(dist_m), 2) AS max_dist_m
+          FROM f WHERE away GROUP BY user_id, grp"""
   )
 }

@@ -25,6 +25,103 @@ object RegressionOps {
       round(avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x), 4).as("intercept"),
       round(pow(corr(x, y), 2), 4).as("r2"))
 
+  // ---------------------------------------------------- order-n polyfit
+
+  /** Laplace-expansion determinant over a Column matrix (order ≤ 4 ⇒ at
+    * most 5×5 = 120 terms; the moment matrices here are ≤ 4×4). */
+  private def detC(m: IndexedSeq[IndexedSeq[Column]]): Column =
+    if (m.size == 1) m(0)(0)
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(r => r.indices.filter(_ != j).map(r))
+      val t = m(0)(j) * detC(minor)
+      if (j % 2 == 0) t else -t
+    }.reduce(_ + _)
+
+  /** Identical recursion over SQL strings — the DuckDB twin must expand
+    * the same products in the same order so both engines do the same
+    * IEEE arithmetic. */
+  private def detS(m: IndexedSeq[IndexedSeq[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(r => r.indices.filter(_ != j).map(r))
+      val t = s"(${m(0)(j)} * ${detS(minor)})"
+      if (j % 2 == 0) t else s"(- $t)"
+    }.mkString("(", " + ", ")")
+
+  /** x^k as a left-associated product chain — NOT `pow`: java.lang.Math
+    * .pow and C libm pow may differ in the last ulp for fractional-free
+    * args, while a plain multiply chain is IEEE-identical everywhere. */
+  private def xpC(x: Column, k: Int): Column =
+    if (k == 0) lit(1.0) else Seq.fill(k)(x).reduce(_ * _)
+  private def xpS(x: String, k: Int): String =
+    if (k == 0) "1.0" else Seq.fill(k)(x).mkString("(", " * ", ")")
+
+  /** Per-group order-n polynomial least-squares fit — the general
+    * `np.polyfit(x, y, order)` of the reference's correlation reports
+    * (`statistics/MyRegression.py:863` with order 2-3 via the `order`
+    * argument, R² per `get_r2_numpy` `:768-775`:
+    * `1 − Σ(y−p(x))² / ((n−1)·var(y, ddof=1))`).
+    *
+    * Single aggregation pass (map-side combined): power sums
+    * `s_k = Σxᵏ (k ≤ 2n)`, `t_k = Σxᵏy (k ≤ n)`, `Σy²`; the
+    * (n+1)×(n+1) normal equations are then solved in closed form by
+    * Cramer's rule on the aggregated row, and SSE expands over the same
+    * sums (`Σy² − 2Σaₖtₖ + Σⱼₖ aⱼaₖ s_{j+k}`) — no second data pass, no
+    * driver-side math, no ML-library iteration. Callers should scale x
+    * into O(1) (e.g. [-1,1]) — the moment matrix of a raw epoch-seconds
+    * x is numerically singular at order ≥ 2.
+    *
+    * Output: key, n, c0..c{order} (rounded 4), r2 (rounded 4). */
+  def polyFit(df: DataFrame, key: Column, x: Column, y: Column,
+              order: Int): DataFrame = {
+    require(order >= 1 && order <= 4, "polyFit supports order 1..4")
+    val sums =
+      (1 to 2 * order).map(k => sum(xpC(x, k)).as(s"s$k")) ++
+        (0 to order).map(k => sum(xpC(x, k) * y).as(s"t$k")) ++
+        Seq(sum(y * y).as("syy"), avg(y).as("ybar"),
+          count(lit(1)).cast("double").as("s0"), count(lit(1)).as("n"))
+    val g = df.groupBy(key.as("k")).agg(sums.head, sums.tail: _*)
+    def s(k: Int): Column = col(s"s$k")
+    val m = (0 to order).map(i => (0 to order).map(j => s(i + j)))
+    val bv = (0 to order).map(i => col(s"t$i"))
+    val d = detC(m)
+    val coefs = (0 to order).map(i =>
+      detC(m.indices.map(r => m(r).updated(i, bv(r)))) / d)
+    val sse = col("syy") -
+      lit(2.0) * (0 to order).map(i => coefs(i) * bv(i)).reduce(_ + _) +
+      (for (i <- 0 to order; j <- 0 to order)
+        yield coefs(i) * coefs(j) * s(i + j)).reduce(_ + _)
+    val sst = col("syy") - col("s0") * col("ybar") * col("ybar")
+    g.select(col("k") +: col("n") +:
+      (0 to order).map(i => round(coefs(i), 4).as(s"c$i")) :+
+      round(lit(1.0) - sse / sst, 4).as("r2"): _*)
+  }
+
+  /** DuckDB twin of [[polyFit]]: same power sums, same Cramer expansion,
+    * same SSE algebra, via CTEs. `from` supplies `(k, x, y)` rows. */
+  def polyFitSql(from: String, order: Int): String = {
+    val sums =
+      (1 to 2 * order).map(k => s"sum(${xpS("x", k)}) AS s$k") ++
+        (0 to order).map(k => s"sum(${xpS("x", k)} * y) AS t$k") ++
+        Seq("sum(y * y) AS syy", "avg(y) AS ybar",
+          "CAST(count(*) AS DOUBLE) AS s0", "count(*) AS n")
+    def s(k: Int): String = s"s$k"
+    val m = (0 to order).map(i => (0 to order).map(j => s(i + j)))
+    val bv = (0 to order).map(i => s"t$i")
+    val d = detS(m)
+    val coefs = (0 to order).map(i =>
+      s"(${detS(m.indices.map(r => m(r).updated(i, bv(r))))} / $d)")
+    val cCols = (0 to order).map(i => s"${coefs(i)} AS c$i").mkString(", ")
+    val sse = s"(syy - 2.0 * (${(0 to order).map(i => s"(c$i * t$i)").mkString(" + ")}) + " +
+      s"(${(for (i <- 0 to order; j <- 0 to order) yield s"(c$i * c$j * ${s(i + j)})").mkString(" + ")}))"
+    s"""WITH src AS ($from),
+        ps AS (SELECT k, ${sums.mkString(", ")} FROM src GROUP BY k),
+        cf AS (SELECT *, $cCols FROM ps)
+        SELECT k, n, ${(0 to order).map(i => s"round(c$i, 4) AS c$i").mkString(", ")},
+               round(1.0 - $sse / (syy - s0 * ybar * ybar), 4) AS r2
+        FROM cf"""
+  }
+
   /** Min-max normalisation of `v` to [0,1] per key
     * (`MyRegression.py:816-836`). Window over the key — one shuffle,
     * no join/broadcast (per-key stats would be one row per key and exceed

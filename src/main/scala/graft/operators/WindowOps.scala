@@ -82,6 +82,29 @@ object WindowOps {
       .drop("global_last")
   }
 
+  /** Batch geofence segmentation (W7): contiguous runs of rows whose
+    * home-distance exceeds `radiusM` ("kit not at home"), one row per
+    * away period with its bounds — the batch equivalent of the
+    * reference's awk state machine over `ST_Distance_Sphere(home, pos)`
+    * ordered by time, threshold 118 m
+    * (`scripts/UpdateValidity.sh:188-202`). Same gaps-and-islands shape
+    * as [[runLengths]]: two row_numbers, one shuffle on the kit key.
+    */
+  def geofenceSegments(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                       distM: Column, radiusM: Double): DataFrame = {
+    val flagged = df.withColumn("dist_m", distM)
+      .withColumn("away", col("dist_m") > radiusM)
+    val byKey = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val byFlag = Window.partitionBy(keys :+ col("away"): _*).orderBy(order: _*)
+    flagged.withColumn("grp",
+        row_number().over(byKey) - row_number().over(byFlag))
+      .where(col("away"))
+      .groupBy(keys :+ col("grp"): _*)
+      .agg(min(order.head).as("seg_start"), max(order.head).as("seg_end"),
+        count(lit(1)).as("n_rows"), max(col("dist_m")).as("max_dist_m"))
+      .drop("grp")
+  }
+
   /** Most frequent value per key with support > minCount
     * (stuck-sensor report). Deterministic tie-break on the value itself.
     */

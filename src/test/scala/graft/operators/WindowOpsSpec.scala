@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WindowOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("geofenceSegments: away runs segmented per kit, at-home rows dropped") {
+    // kit A: home(2) away(3) home(1) away(2); kit B: never away
+    val rows = Seq(
+      ("A", 1L, 10.0), ("A", 2L, 50.0),
+      ("A", 3L, 500.0), ("A", 4L, 200.0), ("A", 5L, 119.0),
+      ("A", 6L, 118.0),
+      ("A", 7L, 300.0), ("A", 8L, 400.0),
+      ("B", 1L, 0.0), ("B", 2L, 118.0))
+      .toDF("kit", "t", "d")
+    val out = WindowOps.geofenceSegments(rows, Seq(col("kit")),
+        Seq(col("t")), col("d"), 118.0)
+      .orderBy("kit", "seg_start").collect()
+    assert(out.map(_.getString(0)).forall(_ == "A") && out.length == 2)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("seg_start") == 3L && s1.getAs[Long]("seg_end") == 5L &&
+      s1.getAs[Long]("n_rows") == 3L && s1.getAs[Double]("max_dist_m") == 500.0)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("seg_start") == 7L && s2.getAs[Long]("seg_end") == 8L &&
+      s2.getAs[Long]("n_rows") == 2L && s2.getAs[Double]("max_dist_m") == 400.0)
+  }
+}
