@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, Dataset, KeyValueGroupedDataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Forwarding-channel semantics — SURVEY §2.1 K2/K5/K6/K7.
+  *
+  * The reference's primary output after the archive is a fan-out to
+  * publish channels (Sensors.Community HTTP, InfluxDB, MQTT re-publish)
+  * plus operator notices. The sandbox has zero egress, so the transports
+  * here are pluggable functions (in-memory in the specs) — what this
+  * module models is the part with real semantics:
+  *
+  *   - per-channel error budget (`MyDatacollector.py:2196-2214`):
+  *     a successful send resets the error count; every failed send
+  *     increments it; past 20 errors the channel skips sends for a 5-min
+  *     cool-down (skipped attempts count as errors too — the reference's
+  *     `errors += 1` in the throttle branch); past 40 the channel is
+  *     disabled outright and a notice goes out.
+  *   - per-kit notice throttle (`MyDatacollector.py:635-647`): an event
+  *     notice is delivered at most once per 4 h per kit
+  *     (`info['last_notice'] = now + 4*60*60`); suppressed notices are
+  *     dropped, not queued.
+  *   - notice address dedup (`MyDatacollector.py:542-553 UniqAddress`):
+  *     `Name <addr>` forms normalize to the bare address; the FIRST
+  *     occurrence (trimmed) wins, order preserved.
+  *
+  * Scale notes: channel budgets are per-CHANNEL (a handful) and live on
+  * the driver inside foreachBatch — O(channels), not O(rows). The notice
+  * throttle is per-KIT and therefore distributed:
+  * `flatMapGroupsWithState` keyed by kit, one tiny state row per kit in
+  * the state store, exactly the [[KitState]] shape.
+  */
+object Forwarding {
+
+  // ------------------------------------------------- channel error budget
+
+  val SkipThreshold = 20      // MyDatacollector.py:2203
+  val DisableThreshold = 40   // :2207
+  val CooldownS = 5 * 60L     // :2205 "skip output for 5 minutes"
+
+  /** Driver-side per-channel budget state (foreachBatch scope). `nowS`
+    * injectable for tests. */
+  final class ChannelBudget(val name: String, nowS: () => Long,
+                            onDisabled: String => Unit = _ => ()) {
+    private var errors = 0
+    private var cooldownUntil = 0L
+    private var disabledFlag = false
+
+    def errorCount: Int = errors
+    def disabled: Boolean = disabledFlag
+
+    /** May this attempt go out? Skips while cooling down or disabled;
+      * a skipped attempt during cool-down counts as an error itself. */
+    def offer(): Boolean = {
+      if (disabledFlag) return false
+      if (errors > SkipThreshold && nowS() < cooldownUntil) {
+        fail() // reference: the throttle branch also increments errors
+        return false
+      }
+      true
+    }
+
+    /** Record a successful send (resets the budget, `:2197-2198`). */
+    def ok(): Unit = { errors = 0; cooldownUntil = 0L }
+
+    /** Record a failed send. */
+    def fail(): Unit = {
+      errors += 1
+      if (errors > DisableThreshold && !disabledFlag) {
+        disabledFlag = true
+        onDisabled(name)
+      } else if (errors > SkipThreshold && nowS() >= cooldownUntil)
+        cooldownUntil = nowS() + CooldownS
+    }
+  }
+
+  /** Side-output one micro-batch to every channel under its budget — the
+    * foreachBatch body. `send` is the pluggable transport: records →
+    * thrown exception = failure. Returns (channel → rows sent). */
+  def forwardBatch(rows: Seq[String],
+                   channels: Seq[(ChannelBudget, String => Unit)]): Map[String, Long] =
+    channels.map { case (budget, send) =>
+      var sent = 0L
+      rows.foreach { r =>
+        if (budget.offer()) {
+          try { send(r); budget.ok(); sent += 1 }
+          catch { case _: Exception => budget.fail() }
+        }
+      }
+      budget.name -> sent
+    }.toMap
+
+  // ---------------------------------------------------- notice throttling
+
+  case class Notice(kit: String, ts: Long, message: String)
+  case class NoticeState(nextAllowed: Long)
+  case class NoticeOut(kit: String, ts: Long, message: String, sent: Boolean)
+
+  val NoticePeriodS = 4 * 3600L // MyDatacollector.py:646
+
+  def noticeUpdate(periodS: Long)(kit: String, events: Iterator[Notice],
+                                  state: GroupState[NoticeState]): Iterator[NoticeOut] = {
+    var st = state.getOption.getOrElse(NoticeState(0L))
+    val out = events.toSeq.sortBy(e => (e.ts, e.message)).map { e =>
+      if (e.ts >= st.nextAllowed) {
+        st = NoticeState(e.ts + periodS)
+        NoticeOut(e.kit, e.ts, e.message, sent = true)
+      } else NoticeOut(e.kit, e.ts, e.message, sent = false)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Per-kit 4-h notice throttle as a keyed state op (stream or batch). */
+  def throttleNotices(grouped: KeyValueGroupedDataset[String, Notice],
+                      periodS: Long = NoticePeriodS): Dataset[NoticeOut] = {
+    implicit val stEnc: org.apache.spark.sql.Encoder[NoticeState] =
+      org.apache.spark.sql.Encoders.product[NoticeState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[NoticeOut] =
+      org.apache.spark.sql.Encoders.product[NoticeOut]
+    grouped.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.NoTimeout())(noticeUpdate(periodS))
+  }
+
+  // ------------------------------------------------------- address dedup
+
+  /** `UniqAddress`: dedup an address array on the normalized email
+    * (the `<…>` part when present, else the whole string, trimmed);
+    * first occurrence wins, order preserved, output trimmed. Pure
+    * higher-order-function columns — no UDF. */
+  def uniqAddress(to: Column): Column = {
+    def norm(a: Column): Column = trim(
+      coalesce(nullif(regexp_extract(a, "<([^>]*)>", 1), lit("")), a))
+    transform(
+      filter(to, (a, i) =>
+        size(filter(slice(to, lit(1), i), b => norm(b) === norm(a))) === 0),
+      a => trim(a))
+  }
+}

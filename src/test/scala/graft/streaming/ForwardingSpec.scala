@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Forwarding._
+
+class ForwardingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("error budget: success resets, >20 trips a 5-min cool-down, resumes after") {
+    var now = 1000L
+    val b = new ChannelBudget("influx", () => now)
+    // 20 failures: still offering (threshold is strict >20)
+    (1 to 20).foreach(_ => { assert(b.offer()); b.fail() })
+    assert(b.offer()) // attempt 21 allowed…
+    b.fail()          // …fails → errors = 21 > 20 → cool-down armed
+    assert(!b.offer(), "must skip during cool-down") // counts as error 22
+    now += CooldownS - 1
+    assert(!b.offer()) // error 23
+    now += 2 // past the cool-down
+    assert(b.offer(), "cool-down elapsed → attempts resume")
+    b.ok()
+    assert(b.errorCount == 0 && b.offer(), "success resets the budget")
+  }
+
+  test("error budget: >40 errors disables the channel and fires the notice once") {
+    var now = 1000L
+    var notices = List.empty[String]
+    val b = new ChannelBudget("community", () => now, n => notices ::= n)
+    (1 to 21).foreach(_ => b.fail())
+    while (!b.disabled) { now += CooldownS + 1; if (b.offer()) b.fail() }
+    assert(notices == List("community"), "disable notice exactly once")
+    assert(!b.offer(), "disabled channel never offers")
+    now += 100 * CooldownS
+    assert(!b.offer(), "disabled is permanent (reference sets output=False)")
+  }
+
+  test("forwardBatch fans out under the budget; a dead channel stops sending") {
+    var now = 0L
+    val sentA = collection.mutable.Buffer[String]()
+    val a = new ChannelBudget("ok-chan", () => now)
+    val dead = new ChannelBudget("dead-chan", () => now)
+    val rows = (1 to 50).map(i => s"r$i")
+    val out = forwardBatch(rows, Seq(
+      (a, r => { sentA += r; () }),
+      (dead, _ => throw new RuntimeException("sink down"))))
+    assert(out("ok-chan") == 50L && sentA.size == 50)
+    assert(out("dead-chan") == 0L)
+    // 50 attempts: 21 real failures, then cool-down skips — each skip
+    // counts as an error too (reference :2205), so a persistently-dead
+    // channel crosses the 40 threshold and ends the batch disabled.
+    assert(dead.errorCount > DisableThreshold && dead.disabled)
+  }
+
+  test("notice throttle: at most one notice per kit per 4 h, per-kit state") {
+    val t0 = 1700000000L
+    val notices = Seq(
+      Notice("A", t0, "dead"), Notice("A", t0 + 3600, "dead again"),
+      Notice("A", t0 + 5 * 3600, "back"), Notice("B", t0 + 3600, "other kit"))
+    val out = throttleNotices(notices.toDS().groupByKey(_.kit))
+      .collect().map(o => (o.kit, o.ts) -> o.sent).toMap
+    assert(out(("A", t0)))
+    assert(!out(("A", t0 + 3600)), "suppressed inside the 4-h window")
+    assert(out(("A", t0 + 5 * 3600)), "window elapsed → delivered")
+    assert(out(("B", t0 + 3600)), "throttle is per kit")
+  }
+
+  test("notice throttle holds state across micro-batches in a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    val mem = MemoryStream[Notice]
+    val q = throttleNotices(mem.toDS().groupByKey(_.kit))
+      .writeStream.format("memory").queryName("notice_out")
+      .outputMode("append").start()
+    mem.addData(Notice("A", t0, "first"))
+    q.processAllAvailable()
+    mem.addData(Notice("A", t0 + 3600, "second")) // next batch, same window
+    q.processAllAvailable()
+    val rows = spark.table("notice_out").as[NoticeOut].collect().sortBy(_.ts)
+    q.stop()
+    assert(rows.length == 2 && rows(0).sent && !rows(1).sent)
+  }
+
+  test("uniqAddress dedups on the normalized email, first occurrence wins") {
+    val out = Seq(Seq(" Jan <j@x.nl> ", "j@x.nl", "K <k@y.nl>", "Jan2 <J@x.nl>", "k@y.nl "))
+      .toDF("to").select(uniqAddress(col("to")).as("u"))
+      .head().getSeq[String](0)
+    // J@x.nl vs j@x.nl: the reference compares case-sensitively — both kept?
+    // No: reference `email()` does not lowercase, so 'J@x.nl' != 'j@x.nl'.
+    assert(out == Seq("Jan <j@x.nl>", "K <k@y.nl>", "Jan2 <J@x.nl>"))
+  }
+}
