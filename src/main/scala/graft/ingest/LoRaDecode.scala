@@ -23,8 +23,12 @@ import graft.functions.GeoFunctions
   *     (lib/MyLoRaCode.py:203-278 rules, :434-530 DecodePort10or12):
   *     sensor-id byte → list of (field, pack-code, NaN-sentinel,
   *     [offset, scale] linear map). [[RuleCodec]] implements the
-  *     `weerDIY1` table including NaN handling, per-field rounding and
-  *     the lat/lon → geohash conversion (:519-523). Note the repo's
+  *     big-endian `weerDIY1` table (port 12) including NaN handling,
+  *     per-field rounding and the lat/lon → geohash conversion
+  *     (:519-523); [[LibeliumCodec]] the little-endian `Libelium`
+  *     WaspMote tiny-frame table (port 10, PortMap :294-295), golden-
+  *     tested against the reference decoder's own output on
+  *     inputtests/inputtestP10.mqtt. Note the repo's
   *     port-12 fixtures carry `payload_fields` from an *older* rule
   *     table (different names/scales — e.g. inputtestP12.mqtt has
   *     BME280 temp 17.06 where the current [0,10] scale yields 17.1),
@@ -362,6 +366,115 @@ object LoRaDecode {
         }
       }
       buf.toArray
+    }
+  }
+
+  // ------------------------------------------- Libelium tiny frame (port 10)
+
+  /** Python 3 `round(x, d)`: correctly-rounded on the EXACT binary double
+    * (not its shortest decimal repr), ties to even — e.g. round(2.675, 2)
+    * = 2.67 because the stored double is 2.67499999…; round(0.25, 1) =
+    * 0.2. Used by the port-10/12 decoder, whose goldens come from the
+    * Python reference (vs [[jsRound]] for the JS-generated port-2/3/4
+    * fixtures). */
+  def pyRound(v: Double, d: Int): Double = {
+    if (v.isNaN || v.isInfinite) return v
+    new java.math.BigDecimal(v).setScale(d, RoundingMode.HALF_EVEN).doubleValue()
+  }
+
+  /** One Libelium sensor-id rule: the WaspMote tiny frame carries ONE
+    * field per id byte (unlike weerDIY1's multi-field records). `unit`
+    * is kept only when not in the reference's DefaultUnits list
+    * (MyLoRaCode.py:202 — '%','C','hPa','mm/h',… are elided). */
+  case class LibeliumField(sensor: String, name: String, pack: Char,
+                           offset: Double, scale: Double, unit: Option[String] = None)
+
+  /** The `Libelium` table (lib/MyLoRaCode.py:259-277), LITTLE-endian —
+    * WaspMote Data Frame Guide v7.7 tiny frame, selected v15 sensor ids. */
+  val Libelium: Map[Int, LibeliumField] = Map(
+    52 -> LibeliumField("energy", "accu", 'B', 0, 1.0),
+    74 -> LibeliumField("BME280", "temp", 'f', 0, 1.0),
+    76 -> LibeliumField("BME280", "rv", 'f', 0, 1.0),
+    77 -> LibeliumField("BME280", "luchtdruk", 'f', 0, 100.0),
+    158 -> LibeliumField("WASPrain", "rain", 'f', 0, 1.0),
+    159 -> LibeliumField("WASPrain", "prevrain", 'f', 0, 1.0),
+    160 -> LibeliumField("WASPrain", "dayrain", 'f', 0, 1.0, Some("mm/24h")),
+    157 -> LibeliumField("WASPwind", "wr", 'B', 0, 0.25),
+    156 -> LibeliumField("WASPwind", "ws", 'f', 0, 1.0))
+
+  /** Parsed `'<3sBBQ#s?B'` header (MyLoRaCode.py:268): '<=>' magic, wasp
+    * type, payload size, 64-bit serial, node id up to the '#' separator,
+    * sequence nr. Only `waspType` (L-type) and `serial` (L-serial) are
+    * promoted into the output record (names not starting with '?',
+    * MyLoRaCode.py:526-537); serial keeps the reference's decimal-string
+    * form (the `'%x'` hex rewrite applies to key 'serial', not
+    * 'L-serial'). */
+  case class LibeliumHeader(waspType: Int, size: Int, serial: String,
+                            nodeId: String, seq: Int)
+
+  object LibeliumCodec {
+
+    private def leU32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** Decode a port-10 WaspMote frame → (header, sensor → field →
+      * value, units). Mirrors DecodePort10or12 (MyLoRaCode.py:434-530)
+      * with the Libelium rules: value = (raw − offset) / scale, floats
+      * rounded to 1 decimal except wr/luchtdruk → int truncation
+      * (`:483-496`). An unknown sensor id aborts with the partial record
+      * (reference GetFrm raises, caught at `:469-471`). Divergence
+      * (documented): the reference's float-NaN sentinel check `val ==
+      * NANf` is always false in Python (NaN ≠ NaN), so an encoded NaN
+      * leaks through as NaN — we normalize it to None/null instead. */
+    def decode(bytes: Array[Byte]): (LibeliumHeader,
+        Map[String, Map[String, Option[Double]]], Map[String, String]) = {
+      require(bytes.length >= 13 &&
+        bytes(0) == '<' && bytes(1) == '=' && bytes(2) == '>',
+        "not a Libelium tiny frame: missing <=> start marker")
+      val waspType = bytes(3) & 0xff
+      val size = bytes(4) & 0xff
+      val serial = java.lang.Long.toUnsignedString(
+        (0 until 8).map(k => (bytes(5 + k) & 0xffL) << (8 * k)).reduce(_ | _))
+      // '#s' in the pack string: variable-length node id, scanned up to
+      // the '#' separator; the separator byte itself is consumed by the
+      // format's '?' slot (calcsize, MyLoRaCode.py:396-420).
+      val hashIdx = bytes.indexWhere(_ == '#'.toByte, 13)
+      require(hashIdx >= 13, "no '#' node-id separator in Libelium header")
+      val nodeId = new String(bytes, 13, hashIdx - 13, "ASCII")
+      val seq = bytes(hashIdx + 1) & 0xff
+      var i = hashIdx + 2
+
+      var data = Map.empty[String, Map[String, Option[Double]]]
+      var units = Map.empty[String, String]
+      var done = false
+      while (!done && i < bytes.length) {
+        val id = bytes(i) & 0xff
+        i += 1
+        Libelium.get(id) match {
+          case None => done = true
+          case Some(f) =>
+            val (isNanV, x) = f.pack match {
+              case 'B' =>
+                val raw = bytes(i) & 0xffL; i += 1
+                (raw == 0xffL, raw.toDouble)
+              case 'f' =>
+                val v = java.lang.Float.intBitsToFloat(leU32(bytes, i).toInt); i += 4
+                (v.isNaN, v.toDouble)
+            }
+            val v: Option[Double] =
+              if (isNanV) None
+              else {
+                val mapped = (x - f.offset) / f.scale
+                Some(
+                  if (f.name == "wr" || f.name == "luchtdruk") mapped.toLong.toDouble
+                  else pyRound(mapped, 1))
+              }
+            data += f.sensor -> (data.getOrElse(f.sensor, Map.empty) + (f.name -> v))
+            f.unit.foreach(u => units += s"${f.sensor}.${f.name}" -> u)
+        }
+      }
+      (LibeliumHeader(waspType, size, serial, nodeId, seq), data, units)
     }
   }
 }

@@ -138,6 +138,51 @@ class LoRaDecodeSpec extends AnyFunSuite {
     assert(math.abs(lat - 61.123456) < 1e-4 && math.abs(lon - 5.123456) < 1e-4)
   }
 
+  test("port 10 Libelium fixture decodes to the reference decoder's golden") {
+    // Golden generated by running the reference decoder itself on the
+    // fixture (python3: lib/MyLoRaCode.py LoRaCoding().DecodePort10or12(
+    // payload_raw, port=10) — geohash import stubbed; Libelium has no
+    // lat/lon fields so it is never called):
+    //   {"energy": {"accu": 96.0},
+    //    "BME280": {"temp": -0.1, "rv": 100.0, "luchtdruk": 1017},
+    //    "WASPrain": {"rain": 0.0, "prevrain": 0.0, "dayrain": (0.6, "mm/24h")},
+    //    "WASPwind": {"wr": 32, "ws": 4.8},
+    //    "L-type": 6, "L-serial": 17284313734798935887}
+    val p = Paths.get(fixtureDir, "inputtestP10.mqtt")
+    assume(Files.exists(p), s"reference fixtures not present: $p")
+    val line = Files.readAllLines(p).asScala.head
+    val json = line.substring(line.indexOf(' ') + 1)
+    assert("\"port\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json).get.group(1).toInt == 10)
+    val payload = Base64.getDecoder.decode(
+      "\"payload_raw\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).get.group(1))
+
+    val (hdr, data, units) = LoRaDecode.LibeliumCodec.decode(payload)
+    assert(hdr.waspType == 6 && hdr.serial == "17284313734798935887")
+    assert(hdr.nodeId == "node_01" && hdr.seq == 213)
+    assert(data("energy") == Map("accu" -> Some(96.0)))
+    assert(data("BME280") == Map("temp" -> Some(-0.1), "rv" -> Some(100.0),
+      "luchtdruk" -> Some(1017.0)))
+    assert(data("WASPrain") == Map("rain" -> Some(0.0), "prevrain" -> Some(0.0),
+      "dayrain" -> Some(0.6)))
+    assert(data("WASPwind") == Map("wr" -> Some(32.0), "ws" -> Some(4.8)))
+    // non-default unit (mm/24h) survives; default units ('%','C',…) elided
+    assert(units == Map("WASPrain.dayrain" -> "mm/24h"))
+  }
+
+  test("Libelium codec: NaN sentinels, unknown id aborts with partial record") {
+    // header: <=> type=6 size=0 serial=1(LE) "n#" seq=7
+    val hdr = Array[Byte]('<', '=', '>', 6, 0, 1, 0, 0, 0, 0, 0, 0, 0, 'n', '#', 7)
+    val nanF = Array[Byte](0, 0, -64, 127) // 0x7fc00000 LE = float NaN
+    val payload = hdr ++
+      Array[Byte](52.toByte, 0xff.toByte) ++            // accu NaN sentinel (B)
+      (Array(74.toByte) ++ nanF) ++                     // temp float NaN
+      Array[Byte](99.toByte, 1, 2, 3)                   // unknown id → abort
+    val (h, data, _) = LoRaDecode.LibeliumCodec.decode(payload)
+    assert(h.serial == "1" && h.nodeId == "n" && h.seq == 7)
+    assert(data == Map("energy" -> Map("accu" -> None),
+      "BME280" -> Map("temp" -> None)))
+  }
+
   test("negative temperature survives the signed-short rule path") {
     val bytes = LoRaDecode.RuleCodec.encode(1.2, Seq(3 -> Seq(Some(-7.5), Some(55.0))))
     val (ver, data, _) = LoRaDecode.RuleCodec.decode(bytes)
