@@ -24,13 +24,21 @@ object Bench {
     // codegen + shuffle machinery once on a small synthetic job.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     spark.range(1000).toDF("id").groupBy("id").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev A/B support (driver contract unchanged — it passes no args):
+    // optional args = query-name subset; SPARK_GRAFT_BENCH_RUNS = repeat
+    // count (min-of-N). More repeats help isolate this host's multi-
+    // minute CPU bursts, which poison any single timing.
+    val names = args.toSet
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => names.isEmpty || names.contains(q._1))
+    val results = selected.map { case (name, fn) =>
       // Steady-state timing: min of two runs per query (this host's CPU
       // is bursty — identical back-to-back totals vary ±60% — and the
       // JIT compiles each query's codegen on first execution). noop sink
       // forces full evaluation of every output column (a count() would
       // let Catalyst prune the projections being measured).
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => }
@@ -43,7 +51,7 @@ object Bench {
     val total = results.map(_._2).sum
     // metric stays "total" — the driver selects the bench line by that
     // key (SKILL.md contract); the methodology rides in its own field.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2 runs per query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$runs runs per query","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

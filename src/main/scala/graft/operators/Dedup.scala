@@ -44,30 +44,45 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** One (id, shingle) row per distinct shingle, tokenizing ONCE per
-    * document before shingling (see TextFunctions.shinglesOfTokens on
-    * why the two-step select matters). */
+  /** One row per document with its DISTINCT shingle array — a narrow
+    * scan projection, no shuffle (shinglesOfTokens already dedups).
+    * Tokenizes ONCE per document (two-step select: see
+    * TextFunctions.shinglesOfTokens on why CollapseProject matters). */
+  private def shingleSets(df: DataFrame, id: Column, text: Column,
+                          n: Int): DataFrame =
+    df.select(id.as("id"), tokens(text).as("__tk"))
+      .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
+
+  /** One (id, shingle) row per distinct shingle — the inverted-index
+    * view. NOTE: explodes the shingle expression directly inside the
+    * Generate node rather than `shingleSets(...).select(explode(hs))`;
+    * the latter reads as equivalent and optimizes to a near-identical
+    * plan, but measured 20-30× slower on the shingle benches (q26/q27/
+    * q34) — keep the direct-explode form. */
   private def shingleRows(df: DataFrame, id: Column, text: Column,
                           n: Int): DataFrame =
     df.select(id.as("id"), tokens(text).as("__tk"))
       .select(col("id"), explode(shinglesOfTokens(col("__tk"), n)).as("s"))
 
-  /** Exact Jaccard over a (d1, d2) candidate pair set: join the pairs
-    * back to the FULL shingle sets, count the intersection, filter by
-    * threshold. Shared verify stage of the capped inverted-index path
-    * and the LSH path — candidates only, never all pairs. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+  /** Exact Jaccard over a (d1, d2) candidate pair set: aggregate each
+    * document's FULL (already-distinct) shingle set into ONE array row,
+    * join the pairs to the two array columns, and count the intersection
+    * with `array_intersect` — two narrow hash joins (one row per doc per
+    * side) instead of re-exploding |doc| shingle rows per pair, which
+    * cost a 3.5× bench regression in an earlier formulation. Array size
+    * is bounded by document length, so rows stay small at any corpus
+    * scale. Shared verify stage of the capped inverted-index path and
+    * the LSH path — candidates only, never all pairs. `sets` is the
+    * [[shingleSets]] frame: (id, hs) straight from the scan projection,
+    * no aggregation needed. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     cand
-      .join(sh.select(col("id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("id").as("d2"), col("s").as("s2")), "d2")
-      .where(col("s") === col("s2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+      .join(sets.select(col("id").as("d1"), col("hs").as("h1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("hs").as("h2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("h1"), col("h2"))))
       .withColumn("jac", round(col("n_inter") /
-        (col("n1") + col("n2") - col("n_inter")).cast("double"), 4))
+        (size(col("h1")) + size(col("h2")) - col("n_inter")).cast("double"), 4))
       .where(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
   }
@@ -100,13 +115,27 @@ object Dedup {
           .where(col("jac") >= threshold)
           .select(col("d1"), col("d2"), col("jac"))
       case Some(cap) =>
-        val kept = sh.join(
-          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-            .where(col("__df") <= cap).select(col("s")), Seq("s"))
-        val cand = kept.as("a").join(kept.as("b"),
-            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
-        verifyJaccard(cand, sh, threshold)
+        // Posting-list candidate generation: ONE shuffle groups each
+        // shingle's (distinct, sorted) doc-id list; lists longer than the
+        // cap are dropped whole (the df cap); ordered pairs explode
+        // in-place from the array — ≤ cap·(cap−1)/2 per shingle, no
+        // semi-join and no self-join. (A df-groupBy + semi-join + s-keyed
+        // self-join computes the same pairs with three wide shuffles of
+        // the exploded frame; measured ~30% slower at bench SF and
+        // strictly worse at scale.)
+        // collect_list, not collect_set: (id, s) rows are already
+        // distinct (array_distinct inside shinglesOfTokens), so the list
+        // IS the set — minus the per-element hash-set insert cost inside
+        // the non-codegen ObjectHashAggregate, which dominates this query.
+        val posting = sh.groupBy(col("s"))
+          .agg(array_sort(collect_list(col("id"))).as("ids"))
+          .where(size(col("ids")).between(2, cap))
+        val cand = posting.select(explode(flatten(
+            transform(col("ids"), (x, i) =>
+              transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+          .select(col("p.d1"), col("p.d2")).distinct()
+        verifyJaccard(cand, shingleSets(df, id, text, n), threshold)
     }
   }
 
@@ -139,7 +168,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2")).distinct()
     // Exact verify on the candidate set only.
-    verifyJaccard(cand, shingleRows(df, id, text, n), threshold)
+    verifyJaccard(cand, shingleSets(df, id, text, n), threshold)
   }
 
   /** 32-bit token-frequency-weighted SimHash per document.
