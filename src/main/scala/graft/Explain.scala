@@ -16,6 +16,9 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same size-based broadcast ceiling as Bench (see Bench.scala) so
+      // the committed PLANS.txt shows the plans the bench actually runs
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // one optimizer config for every query (q54 relies on the rule;
