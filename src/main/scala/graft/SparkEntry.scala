@@ -744,8 +744,49 @@ object SparkEntry {
         .select(col("user_id"), eS(col("seg_start")).as("seg_start"),
           eS(col("seg_end")).as("seg_end"), col("n_rows"),
           round(col("max_dist_m"), 2).as("max_dist_m"))
+    }),
+
+    // Q63 — Sensors.Community forwarding projection (K2): sensor type
+    // and field synthesized per event, broadcast-joined to the pin/
+    // translate/Taylor dimension (MyCOMMUNITY.py sense_table), with the
+    // dust positive clamp, pressure hPa→Pa truncation, 2-decimal API
+    // rounding; untranslatable fields ('grain') drop on the inner join.
+    "q63_community_pins" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stype = element_at(typedLit(CommunityProducts),
+        (col("user_id") % CommunityProducts.size).cast("int") + 1)
+      val field = when(col("user_id") % CommunityProducts.size < 2,
+          element_at(typedLit(CommunityDustFields),
+            (col("event_id") % CommunityDustFields.size).cast("int") + 1))
+        .otherwise(element_at(typedLit(CommunityMeteoFields),
+          (col("event_id") % CommunityMeteoFields.size).cast("int") + 1))
+      Community.rows(s, e, col("user_id").cast("string"), stype, field,
+          col("value"), extra = Seq("event_id" -> col("event_id")))
+        .select(col("event_id"), col("kit"), col("pin"),
+          col("value_type"), col("value"))
+    }),
+
+    // Q64 — per-kit 4-h notice throttle (K7) run in BATCH through the
+    // REAL streaming operator (flatMapGroupsWithState works on a static
+    // Dataset); oracle is a DuckDB recursive CTE stepping the same
+    // next-allowed state per kit.
+    "q64_notice_throttle" -> ((s, d) => {
+      import s.implicits._
+      val n = Tables.events(s, d).select(
+          col("user_id").cast("string").as("kit"),
+          eS(col("ts")).as("ts"), col("event_type").as("message"))
+        .as[graft.streaming.Forwarding.Notice]
+      graft.streaming.Forwarding.throttleNotices(n.groupByKey(_.kit))
+        .toDF().select(col("kit"), col("ts"), col("message"), col("sent"))
     })
   )
+
+  // q63 synthetic reading shape (shared with the oracle renderer)
+  private val CommunityProducts =
+    Seq("PMS7003", "SDS011", "BME280", "SHT31", "DS18B20")
+  private val CommunityDustFields =
+    Seq("pm25", "pm10", "pm1", "pm10_cnt", "grain")
+  private val CommunityMeteoFields = Seq("temp", "rv", "luchtdruk")
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1379,6 +1420,45 @@ object SparkEntry {
           SELECT user_id, epoch_us(min(ts))//1000000 AS seg_start,
                  epoch_us(max(ts))//1000000 AS seg_end,
                  count(*) AS n_rows, round(max(dist_m), 2) AS max_dist_m
-          FROM f WHERE away GROUP BY user_id, grp"""
+          FROM f WHERE away GROUP BY user_id, grp""",
+
+    "q63_community_pins" -> {
+      val products = CommunityProducts.map(p => s"'$p'").mkString("[", ",", "]")
+      val dustF = CommunityDustFields.map(f => s"'$f'").mkString("[", ",", "]")
+      val meteoF = CommunityMeteoFields.map(f => s"'$f'").mkString("[", ",", "]")
+      s"""WITH dim(sensor_type, field, category, pin, value_type, a0, a1, has_cal)
+            AS (VALUES ${Community.dimSql}),
+          src AS (SELECT event_id, CAST(user_id AS VARCHAR) AS kit,
+              $products[CAST(user_id % ${CommunityProducts.size} AS INT) + 1] AS sensor_type,
+              CASE WHEN user_id % ${CommunityProducts.size} < 2
+                THEN $dustF[CAST(event_id % ${CommunityDustFields.size} AS INT) + 1]
+                ELSE $meteoF[CAST(event_id % ${CommunityMeteoFields.size} AS INT) + 1]
+              END AS field, value FROM events)
+          SELECT event_id, kit, pin, value_type,
+            CASE WHEN value_type = 'pressure' THEN CAST(trunc(value*100) AS DOUBLE)
+                 WHEN has_cal AND a0 + a1*value <= 0.0 THEN 0.01
+                 WHEN has_cal THEN round(a0 + a1*value, 2)
+                 ELSE round(value, 2) END AS value
+          FROM src JOIN dim USING (sensor_type, field)"""
+    },
+
+    "q64_notice_throttle" ->
+      """WITH RECURSIVE ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS kit,
+                   epoch_us(ts)//1000000 AS ts, event_type AS message,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts)//1000000, event_type) AS rn
+            FROM events),
+          step AS (
+            SELECT kit, ts, message, rn, ts + 14400 AS next_allowed,
+                   TRUE AS sent
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.kit, e.ts, e.message, e.rn,
+                   CASE WHEN e.ts >= s.next_allowed THEN e.ts + 14400
+                        ELSE s.next_allowed END,
+                   e.ts >= s.next_allowed
+            FROM ev e JOIN step s ON e.kit = s.kit AND e.rn = s.rn + 1)
+          SELECT kit, ts, message, sent FROM step"""
   )
 }
