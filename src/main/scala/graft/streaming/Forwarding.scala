@@ -124,6 +124,20 @@ object Forwarding {
       GroupStateTimeout.NoTimeout())(noticeUpdate(periodS))
   }
 
+  // ------------------------------------------------- channel output filter
+
+  /** P9 — per-channel output gate (`MyDatacollector.py:2146-2156`): a
+    * channel with a configured filter publishes a kit only when the
+    * regex matches `project_serial`. The reference uses Python
+    * `re.match`, which anchors at the START of the string only — hence
+    * the `^` prefix (and no `$` suffix). A channel without a filter
+    * publishes everything. */
+  def channelGate(project: Column, serial: Column,
+                  pattern: Option[String]): Column = pattern match {
+    case None | Some("") => lit(true)
+    case Some(p) => concat_ws("_", project, serial).rlike("^(?:" + p + ")")
+  }
+
   // ------------------------------------------------------- address dedup
 
   /** `UniqAddress`: dedup an address array on the normalized email

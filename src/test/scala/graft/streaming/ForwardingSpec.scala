@@ -85,6 +85,30 @@ class ForwardingSpec extends AnyFunSuite {
     assert(rows.length == 2 && rows(0).sent && !rows(1).sent)
   }
 
+  test("channelGate: anchored regex on project_serial; no filter passes all (P9)") {
+    val df = Seq(("SAN", "b4e62df4b311"), ("HadM", "30aea44505c8"),
+      ("SAN2", "deadbeef0000")).toDF("project", "serial")
+    def kits(p: Option[String]) =
+      df.where(channelGate(col("project"), col("serial"), p))
+        .select("project").as[String].collect().toSet
+    assert(kits(Some("SAN_.*")) == Set("SAN"), "re.match anchors at start: SAN2 must not match")
+    assert(kits(Some("(SAN|HadM)_")) == Set("SAN", "HadM"))
+    assert(kits(None) == Set("SAN", "HadM", "SAN2"))
+    assert(kits(Some("")) == Set("SAN", "HadM", "SAN2"))
+  }
+
+  test("console sink wiring runs a micro-batch (K4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Notice]
+    val q = mem.toDS().writeStream.format("console")
+      .outputMode("append").start()
+    mem.addData(Notice("A", 1L, "hello console"))
+    q.processAllAvailable()
+    val progressed = q.recentProgress.exists(_.numInputRows > 0)
+    q.stop()
+    assert(progressed, "console sink must consume the micro-batch")
+  }
+
   test("uniqAddress dedups on the normalized email, first occurrence wins") {
     val out = Seq(Seq(" Jan <j@x.nl> ", "j@x.nl", "K <k@y.nl>", "Jan2 <J@x.nl>", "k@y.nl "))
       .toDF("to").select(uniqAddress(col("to")).as("u"))
