@@ -10,13 +10,16 @@ import org.apache.spark.sql.expressions.Window
   * quadratically when the data grows, which is the question the bench's
   * fixed SF cannot answer.
   *
-  * `runMain graft.ScaleProbe <sfDir> <mult1,mult2,...>` → one JSON line
-  * per multiplier. Replicas land under /tmp.
+  * `runMain graft.ScaleProbe <sfDir> <mult1,mult2,...> [dedup]` → one
+  * JSON line per multiplier. Replicas land under /tmp. The optional
+  * third arg `dedup` probes the documents-table near-dup shapes instead
+  * of the events shapes.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt)
+    val dedupMode = args.lift(2).contains("dedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -26,6 +29,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id % 7)").collect() // warmup
+
+    if (dedupMode) { probeDedup(spark, sfDir, mults); spark.stop(); return }
 
     val base = Tables.events(spark, sfDir)
     // offsets derived from the data so replicas stay disjoint at ANY sf
@@ -80,5 +85,49 @@ object ScaleProbe {
       println(s"""{"mult":$m,"rows":$rows,"agg_s":$tAgg,"window_s":$tWin,"asof_join_s":$tJoin,"zscore_s":$tZ}""")
     }
     spark.stop()
+  }
+
+  /** Near-dup shapes over replicated documents. Each replica's text is
+    * token-salted (every space becomes ` r<i> `) so replicas share NO
+    * shingles with each other — without the salt, N exact copies of each
+    * doc are all mutual near-dups and the OUTPUT itself is quadratic in
+    * N, which would measure the answer's size, not the operator. With
+    * the salt, pair counts scale linearly (one planted set per replica)
+    * and the probe isolates the candidate-generation shape. */
+  private def probeDedup(spark: SparkSession, sfDir: String,
+                         mults: Array[Int]): Unit = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val idStride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def replicate(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("doc_id") + lit(i * idStride)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" r$i ").as("text"))
+      }.reduce(_ unionByName _)
+    mults.foreach { m =>
+      val dir = s"/tmp/graft_scale_docs_${m}x"
+      replicate(m).write.mode("overwrite").parquet(dir)
+      val d = spark.read.parquet(dir)
+      def time(f: => Unit): Double = {
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        math.rint(best * 1000) / 1000
+      }
+      var pairs = 0L
+      val tJac = time {
+        pairs = operators.Dedup.ngramJaccardPairs(d, col("doc_id"),
+          col("text"), 3, 0.5, maxShingleDf = Some(100)).count()
+      }
+      val tLsh = time {
+        operators.Dedup.minhashLshPairs(d, col("doc_id"), col("text"),
+          3, 16, 4, 0.5).write.mode("overwrite").format("noop").save()
+      }
+      val tSim = time {
+        operators.Dedup.simhashPairs(d, col("doc_id"), col("text"), 3)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val rows = d.count()
+      println(s"""{"mult":$m,"docs":$rows,"jaccard_df_cap_s":$tJac,"jaccard_pairs":$pairs,"minhash_lsh_s":$tLsh,"simhash_s":$tSim}""")
+    }
   }
 }
