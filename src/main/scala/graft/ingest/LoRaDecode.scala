@@ -440,7 +440,8 @@ object LoRaDecode {
       // the '#' separator; the separator byte itself is consumed by the
       // format's '?' slot (calcsize, MyLoRaCode.py:396-420).
       val hashIdx = bytes.indexWhere(_ == '#'.toByte, 13)
-      require(hashIdx >= 13, "no '#' node-id separator in Libelium header")
+      require(hashIdx >= 13 && hashIdx + 1 < bytes.length,
+        "no '#' node-id separator (or truncated seq) in Libelium header")
       val nodeId = new String(bytes, 13, hashIdx - 13, "ASCII")
       val seq = bytes(hashIdx + 1) & 0xff
       var i = hashIdx + 2
@@ -453,6 +454,10 @@ object LoRaDecode {
         i += 1
         Libelium.get(id) match {
           case None => done = true
+          // radio-truncated value bytes: abort with the partial record,
+          // same degraded path as an unknown id (one malformed telegram
+          // must not kill a task — the reference's catch at :469-471)
+          case Some(f) if i + width(f.pack) > bytes.length => done = true
           case Some(f) =>
             val (isNanV, x) = f.pack match {
               case 'B' =>

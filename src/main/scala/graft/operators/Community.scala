@@ -51,7 +51,14 @@ object Community {
     "humidity" -> Seq("humidity", "hum", "rv", "rh"),
     "pressure" -> Seq("pres", "pressure", "luchtdruk"))
   private val dustTranslate = Seq(
-    // each alias set also contains the API name itself (reference sets)
+    // Each alias set also contains the API name itself (reference sets).
+    // Two reference quirks reproduced deliberately (MyCOMMUNITY.py:589-600):
+    //  - N05 maps from `pm5_cnt` (the 5 µm count), not `pm05_cnt` — the
+    //    reference's own comment labels it "dust count PM0.5" but its set
+    //    reads {'pm5_cnt','N05'}; `pm05_cnt` readings therefore drop.
+    //  - getCal matches calibration keys by exact (case-folded) field
+    //    name, so alias spellings of a calibrated quantity ('pm2.5',
+    //    'pm1_atm', …) bypass the PMS Taylor — same as the reference.
     "P0" -> Seq("pm1", "pm1_atm", "P0"), "P1" -> Seq("pm10", "pm10_atm", "P1"),
     "P2" -> Seq("pm2.5", "pm25", "P2"), "N05" -> Seq("pm5_cnt", "N05"),
     "N1" -> Seq("pm1_cnt", "N1"), "N25" -> Seq("pm25_cnt", "N25"),

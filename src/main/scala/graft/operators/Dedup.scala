@@ -93,9 +93,14 @@ object Dedup {
     * candidate generation (bounded fan-out — the 100 TB configuration);
     * the Jaccard of each surviving candidate is still computed exactly
     * on the full shingle sets. A true pair is missed only if EVERY
-    * shared shingle exceeds the cap — at threshold ≥ 0.5 that requires
-    * a document made entirely of ubiquitous boilerplate, which is
-    * precisely the content a dedup pass should not key on. */
+    * shared shingle exceeds the cap. Two ways that happens: (a) a
+    * document made entirely of ubiquitous boilerplate — content a dedup
+    * pass should not key on anyway; (b) a duplicate CLUSTER larger than
+    * the cap (k near-identical docs push every shared shingle's df to
+    * ≥ k). So the cap must exceed the largest expected duplicate-cluster
+    * size — and the standard pipeline order handles the rest: run
+    * [[exact]] dedup first so identical copies collapse to one
+    * representative before near-dup detection. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Int] = None): DataFrame = {

@@ -89,11 +89,17 @@ object WindowOps {
     * ordered by time, threshold 118 m
     * (`scripts/UpdateValidity.sh:188-202`). Same gaps-and-islands shape
     * as [[runLengths]]: two row_numbers, one shuffle on the kit key.
+    *
+    * A null distance (missing GPS fix) counts as "at home" (`away` is
+    * coalesced to false): without the coalesce, null rows land in their
+    * own flag partition and silently SPLIT a contiguous away run into
+    * two segments — the awk reference never sees such rows because its
+    * SQL feed drops them.
     */
   def geofenceSegments(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                        distM: Column, radiusM: Double): DataFrame = {
     val flagged = df.withColumn("dist_m", distM)
-      .withColumn("away", col("dist_m") > radiusM)
+      .withColumn("away", coalesce(col("dist_m") > radiusM, lit(false)))
     val byKey = Window.partitionBy(keys: _*).orderBy(order: _*)
     val byFlag = Window.partitionBy(keys :+ col("away"): _*).orderBy(order: _*)
     flagged.withColumn("grp",

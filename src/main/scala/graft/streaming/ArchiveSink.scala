@@ -36,18 +36,36 @@ object ArchiveSink {
   /** Partition column added to the stored layout (stripped by [[read]]). */
   val PartCol = "__part"
 
+  /** Marker file recording the bucket count the directory was laid out
+    * with. The layout is fixed at creation: a later upsert hashing the
+    * same key into a DIFFERENT bucket count would prune to the wrong
+    * partition and silently duplicate keys, so `numBuckets` is a
+    * creation-time parameter only — existing archives always use their
+    * stored count. */
+  private val BucketsMarker = "_graft_buckets"
+
   /** Read the archive back without the internal partition column. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop(PartCol)
 
   /** Upsert `batch` into the partitioned parquet dir: for duplicate keys
-    * the row with the highest `version` wins (ties: incoming batch wins). */
+    * the row with the highest `version` wins (ties: incoming batch wins).
+    * `numBuckets` applies only when the archive is first created; an
+    * existing archive's stored bucket count always wins (see
+    * [[BucketsMarker]]). */
   def upsert(batch: DataFrame, dir: String, keys: Seq[String],
              version: String, numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(dir)
-    val bucket = pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+    val marker = new Path(cur, BucketsMarker)
+    val buckets =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      } else numBuckets
+    val bucket = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val incoming = batch.withColumn(PartCol, bucket).withColumn("__new", lit(1))
     val touched = incoming.select(col(PartCol)).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -66,6 +84,10 @@ object ArchiveSink {
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.write.partitionBy(PartCol).mode("overwrite").parquet(staging.toString)
     if (!fs.exists(cur)) fs.mkdirs(cur)
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
     touched.foreach { p =>
       val dst = new Path(cur, s"$PartCol=$p")
       val src = new Path(staging, s"$PartCol=$p")

@@ -169,6 +169,16 @@ class LoRaDecodeSpec extends AnyFunSuite {
     assert(units == Map("WASPrain.dayrain" -> "mm/24h"))
   }
 
+  test("Libelium codec: radio-truncated value bytes abort with the partial record") {
+    val hdr = Array[Byte]('<', '=', '>', 6, 0, 1, 0, 0, 0, 0, 0, 0, 0, 'n', '#', 7)
+    val payload = hdr ++
+      Array[Byte](52.toByte, 0x60) ++        // accu = 96 (complete)
+      Array[Byte](74.toByte, 0x11, 0x22)     // temp: only 2 of 4 float bytes
+    val (_, data, _) = LoRaDecode.LibeliumCodec.decode(payload)
+    assert(data == Map("energy" -> Map("accu" -> Some(96.0))),
+      "truncated field must not throw; complete prefix survives")
+  }
+
   test("Libelium codec: NaN sentinels, unknown id aborts with partial record") {
     // header: <=> type=6 size=0 serial=1(LE) "n#" seq=7
     val hdr = Array[Byte]('<', '=', '>', 6, 0, 1, 0, 0, 0, 0, 0, 0, 0, 'n', '#', 7)

@@ -29,4 +29,21 @@ class WindowOpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("seg_start") == 7L && s2.getAs[Long]("seg_end") == 8L &&
       s2.getAs[Long]("n_rows") == 2L && s2.getAs[Double]("max_dist_m") == 400.0)
   }
+
+  test("geofenceSegments: null distance counts as at-home, splits the run") {
+    // away(2) null away(2): the null row is a missing fix → "at home",
+    // so it genuinely ENDS the away run (two segments), rather than
+    // landing in a separate null partition and corrupting group ids
+    val rows = Seq(
+      ("A", 1L, Some(500.0)), ("A", 2L, Some(400.0)),
+      ("A", 3L, None: Option[Double]),
+      ("A", 4L, Some(300.0)), ("A", 5L, Some(200.0)))
+      .toDF("kit", "t", "d")
+    val out = WindowOps.geofenceSegments(rows, Seq(col("kit")),
+        Seq(col("t")), col("d"), 118.0)
+      .orderBy("seg_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("seg_start") == 1L && out(0).getAs[Long]("seg_end") == 2L)
+    assert(out(1).getAs[Long]("seg_start") == 4L && out(1).getAs[Long]("seg_end") == 5L)
+  }
 }

@@ -76,6 +76,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(ArchiveSink.read(spark, dir).count() == 200)
   }
 
+  test("archive upsert: bucket count is creation-time only (layout stability)") {
+    val dir = Files.createTempDirectory("graft_test_archive4_").toString + "/t"
+    val keys = (0 until 50).map(i => (i.toLong, 10L, i * 1.0))
+    ArchiveSink.upsert(keys.toDF("id", "v", "x"), dir, Seq("id"), "v", numBuckets = 64)
+    // a later caller passing a DIFFERENT bucket count must not fork the
+    // layout: the stored count wins, keys stay unique
+    ArchiveSink.upsert(Seq((5L, 20L, 99.0)).toDF("id", "v", "x"), dir,
+      Seq("id"), "v", numBuckets = 8)
+    val rows = ArchiveSink.read(spark, dir)
+    assert(rows.count() == 50, "no duplicate keys after mismatched numBuckets")
+    assert(rows.where(col("id") === 5L).head().getAs[Long]("v") == 20L)
+  }
+
   test("kit state machine: throttle, static run, geofence (batch mode)") {
     // kit A: 100 s cadence < rate 480 → throttled after first interval.
     val a = (0 until 5).map(i => KitEvent("A", 1000L + i * 100, i.toDouble, "u1hxyz00"))
