@@ -69,8 +69,11 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // bucket count sized to the replay corpus (file/dir overhead per
+        // upsert is O(buckets)); a production archive picks a count
+        // matching its key volume — the knob ArchiveSink exposes
         ArchiveSink.upsert(batch, archiveDir,
-          keys = Seq("event_id"), version = "ts")
+          keys = Seq("event_id"), version = "ts", numBuckets = 16)
       }
       .start()
     q.awaitTermination()
