@@ -49,4 +49,48 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(env.where(size(col("gateways")) > 0 && col("best_gateway").isNull)
       .count() == 0)
   }
+
+  test("socket transport feeds the identical parse pipeline (S1 live swap)") {
+    // The MQTT subscribe source is a transport swap: the same
+    // TtnEnvelope.parse projection runs over any line stream. Spark's
+    // built-in socket source IS such a live transport (localhost only —
+    // zero egress), so this proves the swap with real streaming I/O
+    // rather than file replay.
+    assume(Files.exists(Paths.get(stress)))
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(stress))).asScala.take(5).toSeq
+
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        Thread.sleep(5000) // keep the connection up while the query drains
+        sock.close()
+      } catch { case _: Exception => () } finally
+        scala.util.Try(server.close())
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val stream = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort).load()
+    val q = TtnEnvelope.parse(stream, col("value"))
+      .select("app_id", "dev_id", "port", "payload")
+      .writeStream.format("memory").queryName("socket_env")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_env").count() < lines.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = spark.table("socket_env").collect()
+      assert(got.length == lines.size,
+        s"expected ${lines.size} parsed telegrams, got ${got.length}")
+      assert(got.forall(r => !r.isNullAt(1) && !r.isNullAt(3)),
+        "every socket telegram resolves dev_id and payload")
+    } finally q.stop()
+  }
 }
