@@ -509,6 +509,7 @@ object SparkEntry {
     // Q46 — embedding-cosine near-dup pairs, blocked by label (the
     // cluster id stands in for an LSH block): exact cosine within blocks.
     "q46_cosine_neardup" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s) // vec_dot
       val e = Tables.embeddings(s, d)
       val base = e.select(col("label"), col("vec_id").as("id"),
         col("embedding").as("v"), Similarity.norm2(col("embedding")).as("n2"))

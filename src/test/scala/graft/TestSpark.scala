@@ -15,6 +15,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s.experimental.extraOptimizations = Seq(graft.plans.BandedIntervalJoinRule)
+    graft.plans.GraftExtensions.register(s) // geohash + vec_dot natives
     s
   }
 }
