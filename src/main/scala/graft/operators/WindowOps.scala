@@ -90,16 +90,18 @@ object WindowOps {
     * (`scripts/UpdateValidity.sh:188-202`). Same gaps-and-islands shape
     * as [[runLengths]]: two row_numbers, one shuffle on the kit key.
     *
-    * A null distance (missing GPS fix) counts as "at home" (`away` is
-    * coalesced to false): without the coalesce, null rows land in their
-    * own flag partition and silently SPLIT a contiguous away run into
-    * two segments — the awk reference never sees such rows because its
-    * SQL feed drops them.
+    * Rows with a null distance (missing GPS fix) are DROPPED before
+    * segmentation — the reference's feed filters them (`AND NOT
+    * ISNULL(geohash)`, UpdateValidity.sh:193), so a null row neither
+    * splits an away run nor counts toward it. (Without the explicit
+    * filter, null rows would land in their own window flag partition
+    * and corrupt the gaps-and-islands group ids.)
     */
   def geofenceSegments(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                        distM: Column, radiusM: Double): DataFrame = {
     val flagged = df.withColumn("dist_m", distM)
-      .withColumn("away", coalesce(col("dist_m") > radiusM, lit(false)))
+      .where(col("dist_m").isNotNull)
+      .withColumn("away", col("dist_m") > radiusM)
     val byKey = Window.partitionBy(keys: _*).orderBy(order: _*)
     val byFlag = Window.partitionBy(keys :+ col("away"): _*).orderBy(order: _*)
     flagged.withColumn("grp",

@@ -102,9 +102,13 @@ object GraftExtensions {
       info("vec_dot", "vec_dot(array<float|double>, array<float|double>)"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
-  /** Imperative registration on an existing session (idempotent). */
+  /** Imperative registration on an existing session — idempotent AND
+    * quiet: skips functions already present (re-registering logs a
+    * "replaced a previously registered function" WARN per call, and the
+    * operator entry points register defensively on every invocation). */
   def register(spark: SparkSession): Unit =
     injections.foreach { case (id, inf, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,19 +20,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Contract notes: arrays of unequal length fold over the common prefix
   * (the HOF version returned null via zip_with's null padding — no
-  * caller compares unequal-length vectors); null ELEMENTS are not
-  * supported (embedding columns are non-null float arrays).
+  * caller compares unequal-length vectors); a null ELEMENT on either
+  * side makes the whole result null, exactly as the HOF's `acc + null`
+  * did. Non-float/double element types are rejected at ANALYSIS time
+  * (the HOF accepted any castable numeric — pre-cast such arrays to
+  * `array<double>` at the call site).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  private def elemType(e: Expression): DataType = e.dataType match {
-    case ArrayType(t @ (FloatType | DoubleType), _) => t
-    case other => throw new IllegalArgumentException(
-      s"vec_dot expects array<float|double>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects two array<float|double> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -42,6 +54,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -61,6 +74,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
          |}
          |${ev.value} = $acc;

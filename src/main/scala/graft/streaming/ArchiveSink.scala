@@ -64,7 +64,18 @@ object ArchiveSink {
         val in = fs.open(marker)
         try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
-      } else numBuckets
+      } else {
+        // A partitioned dir WITHOUT a marker is a layout of unknown
+        // bucket count (pre-marker archive): guessing would prune to the
+        // wrong partitions and silently duplicate keys — refuse instead.
+        if (fs.exists(cur) &&
+            fs.listStatus(cur).exists(_.getPath.getName.startsWith(s"$PartCol=")))
+          throw new IllegalStateException(
+            s"$dir has $PartCol= partitions but no $BucketsMarker marker; " +
+              "its bucket count is unknown. Re-create the archive (or write " +
+              "the marker with the count it was laid out with) before upserting.")
+        numBuckets
+      }
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val incoming = batch.withColumn(PartCol, bucket).withColumn("__new", lit(1))
     val touched = incoming.select(col(PartCol)).distinct()

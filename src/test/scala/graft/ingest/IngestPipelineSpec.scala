@@ -60,8 +60,10 @@ class IngestPipelineSpec extends AnyFunSuite {
     val lines = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(Paths.get(stress))).asScala.take(5).toSeq
 
-    val server = new java.net.ServerSocket(0, 1,
-      java.net.InetAddress.getLoopbackAddress)
+    // bind and connect must use the SAME address literal — 'localhost'
+    // can resolve to ::1 while getLoopbackAddress returns 127.0.0.1
+    val loopback = java.net.InetAddress.getLoopbackAddress
+    val server = new java.net.ServerSocket(0, 1, loopback)
     val feeder = new Thread(() => {
       try {
         val sock = server.accept()
@@ -77,7 +79,8 @@ class IngestPipelineSpec extends AnyFunSuite {
     feeder.start()
 
     val stream = spark.readStream.format("socket")
-      .option("host", "localhost").option("port", server.getLocalPort).load()
+      .option("host", loopback.getHostAddress)
+      .option("port", server.getLocalPort).load()
     val q = TtnEnvelope.parse(stream, col("value"))
       .select("app_id", "dev_id", "port", "payload")
       .writeStream.format("memory").queryName("socket_env")

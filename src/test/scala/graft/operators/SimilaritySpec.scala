@@ -28,6 +28,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("vec_dot: null element nulls the result; non-numeric arrays rejected at analysis") {
+    val withNull = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(withNull.head().isNullAt(0), "null element → null dot (HOF parity)")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+        .select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("vec_dot"))
+  }
+
   test("knn brute force: self excluded, ranked by cosine desc then id") {
     val out = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 1, 4)
       .orderBy("rank").collect()

@@ -30,20 +30,24 @@ class WindowOpsSpec extends AnyFunSuite {
       s2.getAs[Long]("n_rows") == 2L && s2.getAs[Double]("max_dist_m") == 400.0)
   }
 
-  test("geofenceSegments: null distance counts as at-home, splits the run") {
-    // away(2) null away(2): the null row is a missing fix → "at home",
-    // so it genuinely ENDS the away run (two segments), rather than
-    // landing in a separate null partition and corrupting group ids
+  test("geofenceSegments: null distance rows drop (reference filters them)") {
+    // away(2) null away(2): the reference's feed has NOT ISNULL(geohash),
+    // so the null row vanishes and the away run stays CONTIGUOUS — one
+    // segment spanning all four located rows. (A null row must also not
+    // corrupt the gaps-and-islands group ids, which an unfiltered null
+    // flag partition would.)
     val rows = Seq(
       ("A", 1L, Some(500.0)), ("A", 2L, Some(400.0)),
       ("A", 3L, None: Option[Double]),
-      ("A", 4L, Some(300.0)), ("A", 5L, Some(200.0)))
+      ("A", 4L, Some(300.0)), ("A", 5L, Some(200.0)),
+      ("A", 6L, Some(10.0)), ("A", 7L, Some(600.0)))
       .toDF("kit", "t", "d")
     val out = WindowOps.geofenceSegments(rows, Seq(col("kit")),
         Seq(col("t")), col("d"), 118.0)
       .orderBy("seg_start").collect()
     assert(out.length == 2)
-    assert(out(0).getAs[Long]("seg_start") == 1L && out(0).getAs[Long]("seg_end") == 2L)
-    assert(out(1).getAs[Long]("seg_start") == 4L && out(1).getAs[Long]("seg_end") == 5L)
+    assert(out(0).getAs[Long]("seg_start") == 1L && out(0).getAs[Long]("seg_end") == 5L &&
+      out(0).getAs[Long]("n_rows") == 4L, "null row neither splits nor counts")
+    assert(out(1).getAs[Long]("seg_start") == 7L && out(1).getAs[Long]("seg_end") == 7L)
   }
 }

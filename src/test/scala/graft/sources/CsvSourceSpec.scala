@@ -21,8 +21,11 @@ class CsvSourceSpec extends AnyFunSuite {
 
   test("kit-metadata CSV loads typed and broadcast-joins as a dimension") {
     val dir = Files.createTempDirectory("graft_csv_src").toFile
-    dir.deleteOnExit()
     val f = new java.io.File(dir, "kits.csv")
+    // deleteOnExit runs LIFO and only removes empty dirs — register the
+    // file first so the dir delete actually succeeds at JVM exit
+    dir.deleteOnExit()
+    f.deleteOnExit()
     val w = new java.io.PrintWriter(f)
     w.write(
       """project,serial,label,lat,lon,active

@@ -76,6 +76,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(ArchiveSink.read(spark, dir).count() == 200)
   }
 
+  test("archive upsert refuses a partitioned dir with no bucket marker") {
+    val dir = Files.createTempDirectory("graft_test_archive5_").toString + "/t"
+    ArchiveSink.upsert(Seq((1L, 10L, 1.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    // simulate a pre-marker archive: partitions present, marker gone
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_buckets"))
+    val e = intercept[IllegalStateException] {
+      ArchiveSink.upsert(Seq((2L, 10L, 2.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    }
+    assert(e.getMessage.contains("no _graft_buckets marker"))
+  }
+
   test("archive upsert: bucket count is creation-time only (layout stability)") {
     val dir = Files.createTempDirectory("graft_test_archive4_").toString + "/t"
     val keys = (0 until 50).map(i => (i.toLong, 10L, i * 1.0))
