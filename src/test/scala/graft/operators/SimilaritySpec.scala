@@ -28,6 +28,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("vec_dot is bit-identical to the aggregate(zip_with) HOF fold") {
+    // the oracle contract rests on this: same left-to-right double
+    // accumulation → exact equality, not epsilon
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(200)((rnd.nextLong().abs,
+      Array.fill(64)((rnd.nextGaussian() * 10).toFloat)))
+    val df = vecs.toDF("i", "v")
+    val hof = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatches = df.as("a").join(df.as("b"), col("a.i") < col("b.i"))
+      .select(Similarity.dot(col("a.v"), col("b.v")).as("fast"), hof.as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatches == 0L, s"$mismatches pairs differ between vec_dot and the HOF")
+  }
+
   test("vec_dot: null element nulls the result; non-numeric arrays rejected at analysis") {
     val withNull = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
       .toDF("a", "b")
