@@ -120,14 +120,15 @@ object Dedup {
           .where(col("jac") >= threshold)
           .select(col("d1"), col("d2"), col("jac"))
       case Some(cap) =>
-        // Posting-list candidate generation: ONE shuffle groups each
+        // Posting-list candidate generation: ONE wide shuffle groups each
         // shingle's (distinct, sorted) doc-id list; lists longer than the
         // cap are dropped whole (the df cap); ordered pairs explode
         // in-place from the array — ≤ cap·(cap−1)/2 per shingle, no
-        // semi-join and no self-join. (A df-groupBy + semi-join + s-keyed
-        // self-join computes the same pairs with three wide shuffles of
-        // the exploded frame; measured ~30% slower at bench SF and
-        // strictly worse at scale.)
+        // self-join. Alternatives measured at sf0.1 (min-of-5, same
+        // oracle): this 7.6 s; broadcast-anti-join of the (tiny) hot-
+        // shingle set + s-keyed self-join 8.5 s and one more wide shuffle
+        // at scale; low-df semi-join 11.5 s; window df-count 17.8 s
+        // (forces a full sort).
         // collect_list, not collect_set: (id, s) rows are already
         // distinct (array_distinct inside shinglesOfTokens), so the list
         // IS the set — minus the per-element hash-set insert cost inside
