@@ -240,12 +240,15 @@ object SparkEntry {
     // Q24 — scalar function library (F5 haversine, F7 AQI, F8 LKI, F10
     // AQHI, F12 dew point) as one wide projection.
     "q24_scalar_functions" -> ((s, d) => {
+      // __rh staged as an attribute: dewPoint references rh 3× and the
+      // regexp_extract would be inlined (and re-run) per reference
       val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
-      val rh = least(greatest(k, lit(1)), lit(99)).cast("double")
       val temp = col("value") / 10
-      Tables.events(s, d).select(
+      Tables.events(s, d)
+        .withColumn("__rh", least(greatest(k, lit(1)), lit(99)).cast("double"))
+        .select(
         col("event_id"),
-        round(Calibration.dewPoint(temp, rh), 4).as("dewp"),
+        round(Calibration.dewPoint(temp, col("__rh")), 4).as("dewp"),
         round(AirQuality.aqiPm25.column(col("value")), 4).as("aqi"),
         round(AirQuality.lkiPm25.column(col("value")), 4).as("lki"),
         AirQuality.aqhi(col("value"), col("value") / 2, col("value") / 4).as("aqhi_v"),
@@ -579,16 +582,20 @@ object SparkEntry {
     // Q51 — CAQI family + combined indices (F9/F11): per-pollutant CAQI,
     // the maxCAQI +50 bump, and the AQI cumulative-effect max-index.
     "q51_aqi_combined" -> ((s, d) => {
+      // Staged selects (the q31 tokenize-once pattern): each piecewise
+      // chain is a large when-tree that maxCaqi/maxIndex reference
+      // several times — materialize them as attributes first so
+      // CollapseProject doesn't inline each chain per reference.
       val pm25 = col("value") / 4
       val pm10 = col("value") / 2
-      val c25 = AirQuality.caqiPm25.column(pm25)
-      val c10 = AirQuality.caqiPm10.column(pm10)
-      val a25 = AirQuality.aqiPm25.column(pm25)
-      val a10 = AirQuality.aqiPm10.column(pm10)
       Tables.events(s, d).select(col("event_id"),
-        c25.as("caqi_pm25"), c10.as("caqi_pm10"),
-        AirQuality.maxCaqi(c25, c10).as("caqi_max"),
-        AirQuality.maxIndex(a25, a10).as("aqi_max"))
+          AirQuality.caqiPm25.column(pm25).as("caqi_pm25"),
+          AirQuality.caqiPm10.column(pm10).as("caqi_pm10"),
+          AirQuality.aqiPm25.column(pm25).as("__a25"),
+          AirQuality.aqiPm10.column(pm10).as("__a10"))
+        .select(col("event_id"), col("caqi_pm25"), col("caqi_pm10"),
+          AirQuality.maxCaqi(col("caqi_pm25"), col("caqi_pm10")).as("caqi_max"),
+          AirQuality.maxIndex(col("__a25"), col("__a10")).as("aqi_max"))
     }),
 
     // Q52 — min-max and z-score normalisation per key (A10), raw doubles.
