@@ -61,8 +61,8 @@ object SparkEntry {
     "q04_summary_stats" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("user_id")).agg(
         count(col("value")).as("n"),
-        round(avg(col("value")), 4).as("avg_v"),
-        round(stddev_samp(col("value")), 4).as("sd_v"),
+        Resample.roundStable(avg(col("value")), 4).as("avg_v"),
+        Resample.roundStable(stddev_samp(col("value")), 4).as("sd_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
     }),
@@ -637,7 +637,7 @@ object SparkEntry {
         col("value").as("r_v"))
       l.join(r, abs(col("l_us") - col("r_us")) <= lit(450000000L))
         .groupBy(col("l_id"), col("l_us"), col("l_v"))
-        .agg(round(avg(col("r_v")), 4).as("avg_r"),
+        .agg(Resample.roundStable(avg(col("r_v")), 4).as("avg_r"),
           count(lit(1)).as("n_match"))
     }),
 
@@ -823,8 +823,9 @@ object SparkEntry {
           FROM spine s LEFT JOIN agg a USING (bucket_ts)""",
 
     "q04_summary_stats" ->
-      """SELECT user_id, count(value) AS n, round(avg(value),4) AS avg_v,
-                round(stddev_samp(value),4) AS sd_v,
+      """SELECT user_id, count(value) AS n,
+                CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4) AS DOUBLE) AS avg_v,
+                CAST(round(CAST(stddev_samp(value) AS DECIMAL(18,6)),4) AS DOUBLE) AS sd_v,
                 min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY user_id""",
 
@@ -844,10 +845,10 @@ object SparkEntry {
 
     "q07_asof_align" ->
       s"""WITH a AS (SELECT (${eSq("ts")})//900*900 AS bucket_ts,
-                 round(avg(value),4) AS avg_a, count(*) AS n_a
+                 CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4) AS DOUBLE) AS avg_a, count(*) AS n_a
                  FROM events WHERE event_type = 'click' GROUP BY 1),
           b AS (SELECT (${eSq("ts")})//900*900 AS bucket_ts,
-                 round(avg(value),4) AS avg_b, count(*) AS n_b
+                 CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4) AS DOUBLE) AS avg_b, count(*) AS n_b
                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
           SELECT bucket_ts, avg_a, n_a, avg_b, n_b FROM a JOIN b USING (bucket_ts)""",
 
@@ -1325,7 +1326,7 @@ object SparkEntry {
 
     "q53_tolerance_align" ->
       """SELECT l.event_id AS l_id, epoch_us(l.ts) AS l_us, l.value AS l_v,
-                round(avg(r.value), 4) AS avg_r, count(*) AS n_match
+                CAST(round(CAST(avg(r.value) AS DECIMAL(18,6)),4) AS DOUBLE) AS avg_r, count(*) AS n_match
          FROM events l JOIN events r
            ON l.event_type = 'click' AND r.event_type = 'purchase'
           AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 450000000
@@ -1333,7 +1334,7 @@ object SparkEntry {
 
     "q54_banded_rule_align" ->
       """SELECT l.event_id AS l_id, epoch_us(l.ts) AS l_us, l.value AS l_v,
-                round(avg(r.value), 4) AS avg_r, count(*) AS n_match
+                CAST(round(CAST(avg(r.value) AS DECIMAL(18,6)),4) AS DOUBLE) AS avg_r, count(*) AS n_match
          FROM events l JOIN events r
            ON l.event_type = 'click' AND r.event_type = 'purchase'
           AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 450000000

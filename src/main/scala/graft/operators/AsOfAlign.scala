@@ -24,10 +24,15 @@ object AsOfAlign {
   def bucketAlign(a: DataFrame, aTs: Column, aVal: Column,
                   b: DataFrame, bTs: Column, bVal: Column,
                   intervalSec: Long): DataFrame = {
+    // roundStable, not round: a mean of 2-decimal-grid data can land
+    // EXACTLY on a 4-decimal half (sum/8 has 5 decimal places), where
+    // Spark and DuckDB round ulp-different doubles opposite ways —
+    // quantizing through DECIMAL(18,6) first makes both engines round
+    // the identical exact decimal (surfaced at sf0.1, 372 rows in q53).
     val left = a.groupBy(Resample.bucketEpochS(aTs, intervalSec).as("bucket_ts"))
-      .agg(round(avg(aVal), 4).as("avg_a"), count(lit(1)).as("n_a"))
+      .agg(Resample.roundStable(avg(aVal), 4).as("avg_a"), count(lit(1)).as("n_a"))
     val right = b.groupBy(Resample.bucketEpochS(bTs, intervalSec).as("bucket_ts"))
-      .agg(round(avg(bVal), 4).as("avg_b"), count(lit(1)).as("n_b"))
+      .agg(Resample.roundStable(avg(bVal), 4).as("avg_b"), count(lit(1)).as("n_b"))
     left.join(right, Seq("bucket_ts"), "inner")
   }
 
@@ -55,6 +60,7 @@ object AsOfAlign {
     left.join(right, Seq("b"))
       .where(abs(col("l_us") - col("r_us")) <= tolUs)
       .groupBy(col("l_id"), col("l_us"), col("l_v"))
-      .agg(round(avg(col("r_v")), 4).as("avg_r"), count(lit(1)).as("n_match"))
+      .agg(Resample.roundStable(avg(col("r_v")), 4).as("avg_r"),
+        count(lit(1)).as("n_match"))
   }
 }
