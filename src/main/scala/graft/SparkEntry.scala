@@ -381,7 +381,7 @@ object SparkEntry {
     "q39_borrow_neighbour" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"), eS(date_trunc("hour", col("ts"))).as("hour_ts"))
-        .agg(round(avg(col("value")), 4).as("v"))
+        .agg(Resample.roundStable(avg(col("value")), 4).as("v"))
       val p = hourly.where(col("user_id") < 50)
         .withColumn("v_self", // deterministic gap injection
           when((col("user_id") + col("hour_ts") / 3600) % 5 === 0, lit(null))
@@ -879,8 +879,9 @@ object SparkEntry {
             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                     ORDER BY ts, event_id))/1e6 AS diff_s
           FROM events)
-         SELECT user_id, round(avg(diff_s),4) AS mean_interval,
-                round(avg(diff_s) + 2*stddev_samp(diff_s),4) AS interval_2sig,
+         SELECT user_id,
+                CAST(round(CAST(avg(diff_s) AS DECIMAL(28,12)),4) AS DOUBLE) AS mean_interval,
+                CAST(round(CAST(avg(diff_s) + 2*stddev_samp(diff_s) AS DECIMAL(28,12)),4) AS DOUBLE) AS interval_2sig,
                 count(*) AS n_diffs
          FROM dd WHERE diff_s BETWEEN 1 AND 86400 GROUP BY user_id""",
 
@@ -1144,7 +1145,8 @@ object SparkEntry {
     "q39_borrow_neighbour" ->
       """WITH hourly AS (SELECT user_id,
               epoch_us(date_trunc('hour', ts))//1000000 AS hour_ts,
-              round(avg(value),4) AS v FROM events GROUP BY 1, 2),
+              CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
           p AS (SELECT user_id, hour_ts,
               CASE WHEN (user_id + hour_ts/3600) % 5 = 0 THEN NULL ELSE v END AS v_self
               FROM hourly WHERE user_id < 50)

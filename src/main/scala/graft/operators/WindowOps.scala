@@ -62,9 +62,13 @@ object WindowOps {
     df.withColumn("diff_s", (us - lag(us, 1).over(w)) / 1e6)
       .where(col("diff_s").between(loSec, hiSec))
       .groupBy(key)
-      .agg(round(avg(col("diff_s")), 4).as("mean_interval"),
-           round(avg(col("diff_s")) + lit(2) * stddev_samp(col("diff_s")), 4)
-             .as("interval_2sig"),
+      // quantize through DECIMAL before the 4-decimal round (the q02/q53
+      // half-trap); diff_s sits on a 1e-6 grid so its means need a deeper
+      // decimal scale than roundStable's 6
+      .agg(round(avg(col("diff_s")).cast("decimal(28,12)"), 4).cast("double")
+             .as("mean_interval"),
+           round((avg(col("diff_s")) + lit(2) * stddev_samp(col("diff_s")))
+             .cast("decimal(28,12)"), 4).cast("double").as("interval_2sig"),
            count(lit(1)).as("n_diffs"))
   }
 
