@@ -350,9 +350,10 @@ object SparkEntry {
       Resample.hourlyAvg(archived, col("ts"), col("value"))
     }),
 
-    // Q37 — recursive Grubbs envelope per key (A4): no SQL oracle (the
-    // iterative test needs Student-t quantiles) → driver rows-only check;
-    // exactness is covered by GrubbsSpec against published t-table values.
+    // Q37 — recursive Grubbs envelope per key (A4): oracle is a DuckDB
+    // recursive CTE (see oracleSql) with the Student-t critical table
+    // interpolated from the same Stats.grubbsCritical the engine runs;
+    // exactness also covered by GrubbsSpec against published t-tables.
     "q37_grubbs" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("user_id"))
         .agg(Grubbs.grubbs(col("value")).as("g"))
@@ -681,8 +682,8 @@ object SparkEntry {
         .select(col("user_id"), to_json(col("series")).as("series_json"))),
 
     // Q58 — sliding-window Grubbs sweep (A5): half-overlapping windows,
-    // recursive test per (key, window). Rows-only (Student-t quantiles
-    // are not SQL-expressible); exactness via GrubbsSpec/OutliersSpec.
+    // recursive test per (key, window). Oracle: same recursive CTE as
+    // q37 seeded per (key, window); exactness also via GrubbsSpec.
     "q58_grubbs_sweep" -> ((s, d) =>
       Outliers.grubbsSweep(Tables.events(s, d), col("user_id"),
           col("ts"), col("value"), 7 * 86400)
@@ -807,6 +808,41 @@ object SparkEntry {
     "SELECT epoch_us(date_trunc('hour', ts))//1000000 AS bucket_ts, " +
       "CAST(round(CAST(avg(value) AS DECIMAL(18,6)),2) AS DOUBLE) AS avg_value, " +
       "count(*) AS n FROM events GROUP BY 1"
+
+  /** Grubbs oracle support (A4/A5): the recursive max-removal IS
+    * SQL-expressible as a DuckDB recursive CTE over a sorted value list —
+    * the reference removes the largest *signed* z-score
+    * (statistics/grubbs.py:230 `Z.argmax()`), and dev = v − mean is
+    * monotone in v, so every pass removes one instance of the current
+    * maximum: each iteration drops the sorted list's last element. The
+    * Student-t critical values are not SQL-expressible; the lookup table
+    * is interpolated from the SAME Scala implementation the engine uses
+    * ([[graft.functions.Stats.grubbsCritical]]) via `Double.toString`
+    * (shortest-repr round-trips through DuckDB's parser exactly), so both
+    * sides compare against identical doubles. n ≤ 128 covers the data
+    * (max group size 99 at sf0.1); groups never grow during iteration. */
+  private def grubbsCritTable: String =
+    (15 to 128).map(n =>
+      s"($n, ${graft.functions.Stats.grubbsCritical(n, 0.05)})").mkString(", ")
+
+  /** The shared recursive skeleton: seed must yield (keys…, vals, n0)
+    * with vals sorted ascending; the final row per key group is the one
+    * with the shortest list (lengths strictly decrease). */
+  private def grubbsIterSql(keys: String, seedSql: String): String =
+    s"""WITH RECURSIVE crit(n, c) AS (VALUES $grubbsCritTable),
+        seed AS ($seedSql),
+        iter($keys, vals, n0) AS (
+          SELECT $keys, vals, n0 FROM seed
+          UNION ALL
+          SELECT $keys, vals[1:t.n-1], n0
+          FROM (SELECT $keys, vals, n0, CAST(len(vals) AS INT) AS n,
+                       list_sum(vals)/len(vals) AS mu
+                FROM iter WHERE len(vals) >= 15) t
+          JOIN crit ON crit.n = t.n
+          WHERE sqrt(list_sum(list_transform(vals, v -> (v-mu)*(v-mu)))/(t.n-1)) > 0
+            AND (vals[t.n] - mu)
+              / sqrt(list_sum(list_transform(vals, v -> (v-mu)*(v-mu)))/(t.n-1))
+              > crit.c)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -1132,6 +1168,17 @@ object SparkEntry {
 
     "q36_stream_parity" -> hourlyAggSql,
 
+    "q37_grubbs" ->
+      (grubbsIterSql("user_id",
+        """SELECT user_id, list_sort(list(value)) AS vals, count(*) AS n0
+           FROM events GROUP BY user_id""") +
+        """
+        SELECT user_id, round(vals[1], 4) AS lo,
+               round(vals[len(vals)], 4) AS hi,
+               len(vals) AS n_kept, n0 - len(vals) AS n_removed
+        FROM iter
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY len(vals)) = 1"""),
+
     "q38_lora_roundtrip" ->
       // trunc(): Scala's .toLong and the reference's int() truncate toward
       // zero; DuckDB CAST would round — trunc matches.
@@ -1375,6 +1422,27 @@ object SparkEntry {
                   ORDER BY epoch_us(ts)//1000000, CAST(floor(value) AS BIGINT)))
                   AS series_json
          FROM events GROUP BY user_id""",
+
+    "q58_grubbs_sweep" ->
+      // Half-overlapping epoch-aligned windows (width 7 d, stride 3.5 d):
+      // every event lands in exactly the two windows starting at
+      // (floor(epoch/stride) − k)·stride, k ∈ {0,1} — the same assignment
+      // Spark's window(ts, w, w/2) makes (nested-floor property makes the
+      // seconds-level floor equal the microsecond-level one).
+      (grubbsIterSql("user_id, win_start",
+        """SELECT user_id, win_start, list_sort(list(value)) AS vals,
+                  count(*) AS n0
+           FROM (SELECT user_id, value,
+                   (epoch_us(ts)//1000000 // 302400 - k.k) * 302400
+                     AS win_start
+                 FROM events, (VALUES (0), (1)) k(k))
+           GROUP BY user_id, win_start""") +
+        """
+        SELECT user_id, win_start, round(vals[1], 4) AS keep_lo,
+               round(vals[len(vals)], 4) AS keep_hi
+        FROM iter
+        QUALIFY row_number() OVER (PARTITION BY user_id, win_start
+                                   ORDER BY len(vals)) = 1"""),
 
     "q59_geo_neighbours" ->
       """WITH s AS (SELECT s_suppkey,
