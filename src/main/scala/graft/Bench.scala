@@ -29,6 +29,11 @@ object Bench {
     // count (min-of-N). More repeats help isolate this host's multi-
     // minute CPU bursts, which poison any single timing.
     val names = args.toSet
+    // A typo'd name would otherwise silently select nothing and print a
+    // too-good-to-be-true {"value":0.0} line (ADVICE r4) — fail loudly.
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => names.isEmpty || names.contains(q._1))

@@ -274,7 +274,7 @@ object SparkEntry {
     // with the hot-shingle df-cap active: shingles in >100 docs are
     // dropped from candidate generation (bounded per-key fan-out — the
     // 100 TB config), Jaccard verified exactly on the full shingle sets.
-    // Same rows as the uncapped all-pairs oracle.
+    // The oracle states the SAME cap, so equivalence is by construction.
     "q26_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), 3, 0.5, maxShingleDf = Some(100))),
@@ -1045,10 +1045,21 @@ object SparkEntry {
 
     "q26_ngram_jaccard" -> {
       val sh = TextFunctions.shinglesSql("text", 3)
+      // The df cap (shingles shared by >100 docs generate no candidates)
+      // is part of the operator's 100 TB contract, so the oracle states
+      // it too — engine/oracle equivalence is by construction, not
+      // data-dependent (ADVICE r4: an uncapped all-pairs oracle would
+      // diverge on a duplicate cluster larger than the cap). Candidates
+      // then get exact Jaccard on the full shingle sets, like the engine.
       s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
+          dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+          cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                   JOIN dfc ON dfc.s = a.s WHERE dfc.c <= 100),
           sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-          inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS n_inter
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+          inter AS (SELECT c.d1, c.d2, count(*) AS n_inter FROM cand c
+                    JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.s = a.s
+                    GROUP BY 1, 2),
           j AS (SELECT d1, d2,
                   round(n_inter / CAST(n1.n_sh + n2.n_sh - n_inter AS DOUBLE), 4) AS jac
                 FROM inter JOIN sizes n1 ON n1.id = d1 JOIN sizes n2 ON n2.id = d2)

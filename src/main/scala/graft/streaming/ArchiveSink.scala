@@ -65,17 +65,42 @@ object ArchiveSink {
         try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
       } else {
-        // A partitioned dir WITHOUT a marker is a layout of unknown
-        // bucket count (pre-marker archive): guessing would prune to the
-        // wrong partitions and silently duplicate keys — refuse instead.
-        if (fs.exists(cur) &&
-            fs.listStatus(cur).exists(_.getPath.getName.startsWith(s"$PartCol=")))
-          throw new IllegalStateException(
-            s"$dir has $PartCol= partitions but no $BucketsMarker marker; " +
-              "its bucket count is unknown. Re-create the archive (or write " +
-              "the marker with the count it was laid out with) before upserting.")
+        if (fs.exists(cur)) {
+          val entries = fs.listStatus(cur)
+          // A partitioned dir WITHOUT a marker is a layout of unknown
+          // bucket count (pre-marker archive): guessing would prune to the
+          // wrong partitions and silently duplicate keys — refuse instead.
+          if (entries.exists(_.getPath.getName.startsWith(s"$PartCol=")))
+            throw new IllegalStateException(
+              s"$dir has $PartCol= partitions but no $BucketsMarker marker; " +
+                "its bucket count is unknown. Re-create the archive (or write " +
+                "the marker with the count it was laid out with) before upserting.")
+          // A non-empty dir with data files but no __part= layout is a
+          // legacy FLAT archive (pre-partitioned sink): proceeding would
+          // only fail later with an obscure unresolved-`__part` error —
+          // refuse with a migration hint instead (ADVICE r4).
+          if (entries.exists(st => !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".")))
+            throw new IllegalStateException(
+              s"$dir exists but has no $PartCol= partition layout — it looks " +
+                "like a flat (unpartitioned) archive from an earlier sink. " +
+                "Read it and upsert its rows into a fresh archive dir to " +
+                "migrate before upserting here.")
+        }
         numBuckets
       }
+    // Recover from a crashed previous swap: any bucket parked in `.bak`
+    // whose live dir is missing was mid-replacement when the process
+    // died — move it back before this upsert reads the archive, so no
+    // intermediate state ever loses a bucket's prior rows (ADVICE r4).
+    val bak = new Path(dir + ".bak")
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        val live = new Path(cur, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(bak, true)
+    }
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val incoming = batch.withColumn(PartCol, bucket).withColumn("__new", lit(1))
     val touched = incoming.select(col(PartCol)).distinct()
@@ -106,12 +131,21 @@ object ArchiveSink {
       val out = fs.create(marker, true)
       try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
     }
+    // Swap each touched bucket via a `.bak` parking dir so the old rows
+    // survive every intermediate state: park old → rename new into place
+    // → drop the parking dir. A crash mid-loop leaves either the old dir
+    // live, or the old dir parked (recovered by the next upsert, above) —
+    // never a destructive delete-before-replace window.
+    fs.mkdirs(bak)
     touched.foreach { p =>
       val dst = new Path(cur, s"$PartCol=$p")
       val src = new Path(staging, s"$PartCol=$p")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.rename(dst, new Path(bak, s"$PartCol=$p"))
+        fs.rename(src, dst)
+      }
     }
+    fs.delete(bak, true)
     fs.delete(staging, true)
   }
 }

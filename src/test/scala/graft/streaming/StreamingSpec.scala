@@ -87,6 +87,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no _graft_buckets marker"))
   }
 
+  test("archive upsert refuses a legacy flat (unpartitioned) archive dir") {
+    val dir = Files.createTempDirectory("graft_test_archive6_").toString + "/t"
+    // a plain parquet dir written by a pre-partitioned sink
+    Seq((1L, 10L, 1.0)).toDF("id", "v", "x").write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      ArchiveSink.upsert(Seq((2L, 10L, 2.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    }
+    assert(e.getMessage.contains("flat"))
+  }
+
+  test("archive upsert recovers a bucket parked by a crashed swap") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("graft_test_archive7_").toString + "/t"
+    val b1 = (0 until 200).map(i => (i.toLong, 10L, i * 1.0)).toDF("id", "v", "x")
+    ArchiveSink.upsert(b1, dir, Seq("id"), "v")
+    // Simulate the crash window: one bucket was parked in `.bak` (old
+    // rows) and the process died before the new dir was renamed in.
+    val bucket = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(64)).cast("int")).head.getInt(0)
+    val live = Paths.get(dir, s"${ArchiveSink.PartCol}=$bucket")
+    val bak = Paths.get(dir + ".bak", s"${ArchiveSink.PartCol}=$bucket")
+    JFiles.createDirectories(bak.getParent)
+    JFiles.move(live, bak)
+    // Next upsert must first restore the parked bucket, then merge.
+    ArchiveSink.upsert(Seq((5L, 20L, 99.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    val rows = ArchiveSink.read(spark, dir)
+    assert(rows.count() == 200, "no rows lost across the crash window")
+    assert(rows.where(col("id") === 5L).head().getAs[Double]("x") == 99.0)
+    assert(!JFiles.exists(Paths.get(dir + ".bak")), "parking dir cleaned up")
+  }
+
   test("archive upsert: bucket count is creation-time only (layout stability)") {
     val dir = Files.createTempDirectory("graft_test_archive4_").toString + "/t"
     val keys = (0 until 50).map(i => (i.toLong, 10L, i * 1.0))
