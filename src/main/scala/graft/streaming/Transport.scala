@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Telegram transport abstraction (S1) — reference:
+  * MyDatacollector/lib/MyMQTTclient.py:45-83, where a "broker" config dict
+  * unifies live MQTT subscriptions and file replay (`port=None` selects
+  * file input from `broker['resource']`), and a LIST of brokers fans into
+  * one record stream consumed by the identical import pipeline.
+  *
+  * Spark-first re-expression: every transport yields the same one-column
+  * streaming DataFrame (`value: STRING`, one telegram per row) that feeds
+  * `TtnEnvelope.parse`. The transports:
+  *
+  *  - [[Transport.Kafka]] — the production pub/sub path. TTN's MQTT fan-in
+  *    is bridged to Kafka in any at-scale deployment (per-topic telegram
+  *    streams, replayable offsets replacing the reference's own file-dump
+  *    replay); maps to Spark's `format("kafka")` connector
+  *    (spark-sql-kafka, part of the public Spark distribution). The
+  *    connector jar is not in this sandbox (zero egress), so the branch is
+  *    route-tested: it must reach Spark's data-source lookup for "kafka",
+  *    proving the options/projection wiring without a broker.
+  *  - [[Transport.Socket]] — live line transport over localhost, used by
+  *    the integration test to prove a REAL streaming swap end-to-end.
+  *  - [[Transport.FileReplay]] — the reference's `port=None` file mode;
+  *    also the deterministic test path.
+  *
+  * `lines(spark, configs)` unions multiple transports into one stream —
+  * the reference's multi-broker fan-in (MyMQTTclient.py:54 "a list
+  * [broker, ...]"). Union of streaming sources is planned by Spark as one
+  * multi-source continuous query; each source keeps its own offsets in the
+  * shared checkpoint, which is exactly the per-broker bookkeeping the
+  * reference hand-rolls.
+  */
+object Transport {
+
+  sealed trait Config
+
+  /** Kafka subscription: `topics` is comma-separated (Spark's `subscribe`
+    * option), mirroring the reference's topic-list config
+    * (MyMQTTclient.py:47 "MQTT topics may be a list of topics"). */
+  final case class Kafka(
+      bootstrapServers: String,
+      topics: String,
+      startingOffsets: String = "earliest") extends Config
+
+  /** Live line stream over TCP — localhost-only in tests. */
+  final case class Socket(host: String, port: Int) extends Config
+
+  /** File replay (`port=None` mode): a directory of text telegram dumps,
+    * one JSON telegram per line. `maxFilesPerTrigger=1` keeps micro-batch
+    * boundaries realistic (one dump file per batch). */
+  final case class FileReplay(dir: String) extends Config
+
+  /** One transport → the uniform `value: STRING` telegram stream. */
+  def lines(spark: SparkSession, cfg: Config): DataFrame = cfg match {
+    case Kafka(bs, topics, so) =>
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bs)
+        .option("subscribe", topics)
+        .option("startingOffsets", so)
+        // At 100 TB the consumer must not form one giant first batch when
+        // resuming from old offsets; bound rows per micro-batch.
+        .option("maxOffsetsPerTrigger", "1000000")
+        .load()
+        // Kafka rows are (key, value, topic, partition, offset, ts, …)
+        // binary; the telegram is the value payload, like the MQTT
+        // message body the reference's on_message handler receives.
+        .selectExpr("CAST(value AS STRING) AS value")
+    case Socket(host, port) =>
+      spark.readStream
+        .format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load() // already (value: STRING)
+    case FileReplay(dir) =>
+      spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .text(dir)
+  }
+
+  /** Multi-broker fan-in: union the per-transport streams into one. */
+  def lines(spark: SparkSession, configs: Seq[Config]): DataFrame = {
+    require(configs.nonEmpty, "at least one transport config")
+    configs.map(lines(spark, _)).reduce(_.unionByName(_))
+  }
+}

@@ -78,9 +78,8 @@ class IngestPipelineSpec extends AnyFunSuite {
     feeder.setDaemon(true)
     feeder.start()
 
-    val stream = spark.readStream.format("socket")
-      .option("host", loopback.getHostAddress)
-      .option("port", server.getLocalPort).load()
+    val stream = graft.streaming.Transport.lines(spark,
+      graft.streaming.Transport.Socket(loopback.getHostAddress, server.getLocalPort))
     val q = TtnEnvelope.parse(stream, col("value"))
       .select("app_id", "dev_id", "port", "payload")
       .writeStream.format("memory").queryName("socket_env")

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ingest.TtnEnvelope
+
+/** S1 transport swap: every [[Transport.Config]] yields the same
+  * `value: STRING` telegram stream into the identical parse pipeline
+  * (reference: MyMQTTclient.py:45-83 broker configs unify live MQTT and
+  * file replay; the import routine never knows which transport fed it). */
+class TransportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val stress = "/root/reference/MyDatacollector/inputtests/stressTestData.mqtt"
+
+  test("kafka transport routes to Spark's kafka connector (S1 prod path)") {
+    // The spark-sql-kafka connector jar is absent in this sandbox (zero
+    // egress), so reaching Spark's data-source lookup for "kafka" — and
+    // failing there, not earlier — proves the branch assembles a real
+    // connector read. With the public connector on the classpath the same
+    // code is the production path.
+    val e = intercept[Exception] {
+      Transport.lines(spark,
+        Transport.Kafka("broker-1:9092,broker-2:9092", "v3/+/devices/+/up"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected the kafka data-source lookup to be reached, got: ${e.getMessage}")
+  }
+
+  test("file-replay transport matches the batch parse (transport parity)") {
+    assume(Files.exists(Paths.get(stress)))
+    val dir = Files.createTempDirectory("graft_transport_replay_")
+    Files.copy(Paths.get(stress), dir.resolve("dump-0.txt"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val parsed = TtnEnvelope.parse(
+      Transport.lines(spark, Transport.FileReplay(dir.toString)), col("value"))
+      .select("app_id", "dev_id", "port", "payload")
+    val q = parsed.writeStream.format("memory").queryName("transport_replay")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val batch = TtnEnvelope.parse(spark.read.text(stress), col("value"))
+      .select("app_id", "dev_id", "port", "payload")
+    val streamed = spark.table("transport_replay")
+    assert(streamed.count() == batch.count(),
+      "streamed parse yields exactly the batch parse's telegram count")
+    assert(streamed.where(col("dev_id").isNull || col("payload").isNull)
+      .count() == 0)
+  }
+
+  test("multi-transport fan-in unions broker streams (MyMQTTclient list-of-brokers)") {
+    assume(Files.exists(Paths.get(stress)))
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(stress))).asScala.toSeq
+    val dirA = Files.createTempDirectory("graft_transport_a_")
+    val dirB = Files.createTempDirectory("graft_transport_b_")
+    Files.write(dirA.resolve("dump.txt"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines.take(3)).asJava)
+    Files.write(dirB.resolve("dump.txt"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines.slice(3, 8)).asJava)
+
+    val union = Transport.lines(spark,
+      Seq(Transport.FileReplay(dirA.toString), Transport.FileReplay(dirB.toString)))
+    val q = TtnEnvelope.parse(union, col("value"))
+      .select("app_id", "dev_id", "port", "payload")
+      .writeStream.format("memory").queryName("transport_union")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("transport_union").count() == 8,
+      "both transports' telegrams land in the one stream")
+  }
+}
