@@ -787,7 +787,18 @@ object SparkEntry {
         .as[graft.streaming.Forwarding.Notice]
       graft.streaming.Forwarding.throttleNotices(n.groupByKey(_.kit))
         .toDF().select(col("kit"), col("ts"), col("message"), col("sent"))
-    })
+    }),
+
+    // Q65 — REAL image decode (javax.imageio): encode a deterministic PNG
+    // per doc_id, decode the actual bytes back, report width/height/mean
+    // luminance from decoded pixels. The oracle computes the same values
+    // closed-form from the generation rule (PNG is lossless), so a hash
+    // match proves the encode→decode round-trip, not stub arithmetic.
+    "q65_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(
+          Multimodal.syntheticPngTable(Tables.documents(s, d), col("doc_id")))
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          Resample.roundStable(col("brightness"), 4).as("brightness")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1549,6 +1560,24 @@ object SparkEntry {
                         ELSE s.next_allowed END,
                    e.ts >= s.next_allowed
             FROM ev e JOIN step s ON e.kit = s.kit AND e.rn = s.rn + 1)
-          SELECT kit, ts, message, sent FROM step"""
+          SELECT kit, ts, message, sent FROM step""",
+
+    // Expected decode output computed closed-form from the PNG generation
+    // rule (Multimodal.syntheticPng): w = 8 + id%9, h = 8 + (id*7)%9,
+    // gray(x,y) = (id + 3x + 5y) % 256; brightness = mean gray. The engine
+    // instead round-trips real PNG bytes through javax.imageio.
+    "q65_image_decode" ->
+      """WITH m AS (SELECT doc_id,
+                 8 + CAST(doc_id % 9 AS INT) AS w,
+                 8 + CAST((doc_id * 7) % 9 AS INT) AS h
+            FROM documents),
+          px AS (SELECT doc_id, w, h,
+                   CAST((doc_id + 3*x.i + 5*y.i) % 256 AS DOUBLE) AS v
+                 FROM m, range(0, 16) x(i), range(0, 16) y(i)
+                 WHERE x.i < w AND y.i < h)
+          SELECT doc_id AS media_id, w AS width, h AS height,
+                 CAST(round(CAST(sum(v) / count(*) AS DECIMAL(18,6)), 4)
+                   AS DOUBLE) AS brightness
+          FROM px GROUP BY 1, 2, 3"""
   )
 }

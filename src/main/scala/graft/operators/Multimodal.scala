@@ -61,6 +61,77 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic image corpus: one REAL PNG per id. Dimensions
+    * and the gray value of each pixel are closed-form functions of the id
+    * (`w = 8 + id%9`, `h = 8 + (id*7)%9`, `gray(x,y) = (id + 3x + 5y) % 256`),
+    * so an oracle can compute the expected decode output arithmetically
+    * while the engine path round-trips through actual PNG encode bytes.
+    * PNG is lossless, so decoded pixels equal the generation rule exactly. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + Math.floorMod(id, 9L).toInt
+    val h = 8 + Math.floorMod(id * 7, 9L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Math.floorMod(id + 3L * x + 5L * y, 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // in-memory cache: no per-row tmp-file churn on executors
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real PNG blobs keyed by an id column. */
+  def syntheticPngTable(docs: DataFrame, id: Column): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(id.cast("long")).as[Long]
+      .mapPartitions(_.map(i => MediaRecord(i, "image/png", syntheticPng(i))))
+  }
+
+  /** REAL image decode: `javax.imageio` (JDK built-in — works headless,
+    * no external codec deps) reads each blob back to pixels; width/height/
+    * brightness come from the decoded image, not from metadata. Brightness
+    * is mean luminance `(r+g+b)/3` over all pixels. Decoder state is
+    * per-partition (one reader thread, no per-row codec construction) —
+    * the batch shape a TB-scale media pipeline needs. Undecodable blobs
+    * surface as an error row marker (negative dims) rather than killing
+    * the job, mirroring the reference's tolerate-and-log decode loop
+    * (MyDatacollector/lib/MyLoRaCode.py:434-530). */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        if (img == null) DecodedMedia(m.media_id, -1, -1, 0, Double.NaN)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          DecodedMedia(m.media_id, w, h, 1, sum / (w * h))
+        }
+      }
+    }
+  }
+
   /** Column-level feature extraction on the binary payload — byte count
     * and a strided byte-code checksum ("frame sampling": every `stride`-th
     * byte). Pure codegen-able expressions; the DuckDB oracle mirrors them

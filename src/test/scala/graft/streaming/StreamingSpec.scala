@@ -281,4 +281,30 @@ class StreamingSpec extends AnyFunSuite {
     val again = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
     assert(dec.toSeq == again.toSeq)
   }
+
+  test("multimodal REAL decode: javax.imageio round-trips generated PNGs") {
+    import graft.operators.Multimodal
+    // Engine path: real PNG encode -> real ImageIO decode.
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val dec = Multimodal.decodeImages(
+        Multimodal.syntheticPngTable(ids, col("doc_id")))
+      .collect().sortBy(_.media_id)
+    assert(dec.length == 40)
+    dec.foreach { d =>
+      val id = d.media_id
+      // decoded dims equal the generation rule (the PNG header is real)
+      assert(d.width == 8 + (id % 9).toInt && d.height == 8 + ((id * 7) % 9).toInt)
+      // decoded mean luminance equals the closed-form mean of the rule
+      val expected = (for (y <- 0 until d.height; x <- 0 until d.width)
+        yield ((id + 3L * x + 5L * y) % 256).toDouble).sum / (d.width * d.height)
+      assert(math.abs(d.brightness - expected) < 1e-9,
+        s"id=$id brightness ${d.brightness} != $expected")
+      assert(d.n_frames == 1)
+    }
+    // an undecodable blob yields an error-marker row, not a crash
+    val bad = Seq(Multimodal.MediaRecord(99L, "image/png",
+      Array[Byte](1, 2, 3))).toDS()
+    val b = Multimodal.decodeImages(bad).collect().head
+    assert(b.width == -1 && b.brightness.isNaN)
+  }
 }
