@@ -8,10 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** S6 — CSV/XLSX source. The reference reads spreadsheet sensor columns
+/** S6 — CSV source half. The reference reads spreadsheet sensor columns
   * with pandas (statistics/MyRegression.py:699-757); the Spark-side
-  * equivalent is the built-in csv source with an explicit schema (XLSX
-  * arrives via csv export — no spreadsheet codec in a zero-dep build).
+  * equivalent is the built-in csv source with an explicit schema. Native
+  * .xlsx reads are covered by [[XlsxSource]] / XlsxSourceSpec.
   * This spec pins down the ingest contract: header handling, typed
   * schema (no inference surprises), null handling, and that the loaded
   * dimension broadcast-joins onto a fact frame. */
