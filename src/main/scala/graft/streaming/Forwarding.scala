@@ -138,6 +138,73 @@ object Forwarding {
     case Some(p) => concat_ws("_", project, serial).rlike("^(?:" + p + ")")
   }
 
+  // ------------------------------------------- InfluxDB line protocol (K5)
+
+  /** Escape for measurement names / tag keys / tag values / field keys per
+    * the public InfluxDB line-protocol spec: backslash-escape `\`, `,`,
+    * `=`, and space. Pure Column chain — codegen'd, no UDF. */
+  private def lpEscape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "\\\\", "\\\\\\\\"),
+          ",", "\\\\,"),
+        "=", "\\\\="),
+      " ", "\\\\ ")
+
+  /** One field value rendered like the reference's `Influx_write`
+    * (RPi/MyINFLUXPUB.py:134-152): numeric columns bare (`12.5`, ints
+    * bare too — the reference sends `time=123`, no `i` suffix), anything
+    * non-numeric double-quoted with `"` and `\` escaped. Null → null
+    * (the caller's concat_ws drops it: "do not sent Null values"). */
+  private def lpFieldValue(v: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case t: org.apache.spark.sql.types.NumericType => v.cast("string")
+      case _ => concat(lit("\""),
+        regexp_replace(regexp_replace(v.cast("string"),
+          "\\\\", "\\\\\\\\"), "\"", "\\\\\""), lit("\""))
+    }
+
+  /** K5 — InfluxDB line-protocol lines as a single string column:
+    * `measurement,tag=v,... field=v,... [timestamp]`.
+    *
+    * Reference shape (RPi/MyINFLUXPUB.py:120-156): measurement is the
+    * `type` tag (`data`/`info`); tags are project/serial/label strings;
+    * fields are the sensor values; null tags/fields are skipped; a row
+    * with no fields yields no telegram (returns null here — filter it).
+    * Timestamp is optional epoch SECONDS (the reference posts with
+    * `precision=s`).
+    *
+    * Everything is Column algebra on named columns, so the formatter runs
+    * inside whole-stage codegen in the foreachBatch/writeStream sink path
+    * — no per-row Scala. */
+  def influxLine(df: Dataset[_], measurement: Column,
+                 tags: Seq[(String, Column)], fields: Seq[(String, Column)],
+                 timeSec: Option[Column] = None): Column = {
+    val schema = df.toDF().select(fields.map { case (n, c) => c.as(n) }: _*).schema
+    val tagSet = concat_ws(",", tags.map { case (n, c) =>
+      when(c.isNotNull, concat(lit(lpEscapeLiteral(n) + "="), lpEscape(c.cast("string"))))
+    }: _*)
+    val fieldSet = concat_ws(",", fields.zipWithIndex.map { case ((n, c), i) =>
+      when(c.isNotNull,
+        concat(lit(lpEscapeLiteral(n) + "="), lpFieldValue(c, schema.fields(i).dataType)))
+    }: _*)
+    val head = concat(lpEscape(measurement),
+      when(tagSet === "", lit("")).otherwise(concat(lit(","), tagSet)))
+    val withFields = concat(head, lit(" "), fieldSet)
+    val line = timeSec match {
+      case Some(t) => concat(withFields, lit(" "), t.cast("long").cast("string"))
+      case None    => withFields
+    }
+    // reference: `if not len(data_values): return True` — no empty telegrams
+    when(fieldSet === "", lit(null).cast("string")).otherwise(line)
+  }
+
+  /** Literal-side escape for key names known at plan time. */
+  private def lpEscapeLiteral(s: String): String =
+    s.replace("\\", "\\\\").replace(",", "\\,")
+      .replace("=", "\\=").replace(" ", "\\ ")
+
   // ------------------------------------------------------- address dedup
 
   /** `UniqAddress`: dedup an address array on the normalized email

@@ -117,4 +117,46 @@ class ForwardingSpec extends AnyFunSuite {
     // No: reference `email()` does not lowercase, so 'J@x.nl' != 'j@x.nl'.
     assert(out == Seq("Jan <j@x.nl>", "K <k@y.nl>", "Jan2 <J@x.nl>"))
   }
+
+  test("influx line protocol: golden lines (K5, MyINFLUXPUB Influx_write shape)") {
+    val df = Seq(
+      // plain data row: tags + numeric fields
+      ("data", "SAN", "b4e62df4", "Vredepeel", Some(12.5), Some(31.25), Some(1234567890L), None: Option[String]),
+      // escaping: tag value with space+comma, string field with quote+backslash
+      ("data", "Had M", "30aea4", "Horst, aan", Some(8.0), None, Some(1234567891L), Some("rain \"wet\" c:\\x")),
+      // null numeric fields skipped; string field only
+      ("info", "SAN", "deadbeef", null, None, None, Some(1234567892L), Some("new kit")),
+      // NO fields at all -> no telegram (null line)
+      ("data", "SAN", "cafe", "Lbl", None, None, None, None)
+    ).toDF("mtype", "project", "serial", "label", "pm25", "pm10", "time", "note")
+
+    val lines = df.select(influxLine(df, col("mtype"),
+      tags = Seq("project" -> col("project"), "serial" -> col("serial"),
+                 "label" -> col("label")),
+      fields = Seq("pm25" -> col("pm25"), "pm10" -> col("pm10"),
+                   "time" -> col("time"), "note" -> col("note"))).as("line"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+
+    assert(lines(0) ==
+      "data,project=SAN,serial=b4e62df4,label=Vredepeel pm25=12.5,pm10=31.25,time=1234567890")
+    assert(lines(1) ==
+      "data,project=Had\\ M,serial=30aea4,label=Horst\\,\\ aan " +
+        "pm25=8.0,time=1234567891,note=\"rain \\\"wet\\\" c:\\\\x\"")
+    // null tag (label) skipped, like null fields
+    assert(lines(2) == "info,project=SAN,serial=deadbeef time=1234567892,note=\"new kit\"")
+    assert(lines(3) == null, "a row with no fields emits no telegram")
+
+    // optional trailing epoch-seconds timestamp (precision=s)
+    val ts = df.limit(1).select(influxLine(df, col("mtype"),
+      Seq("project" -> col("project")), Seq("pm25" -> col("pm25")),
+      timeSec = Some(lit(1700000000L)))).head.getString(0)
+    assert(ts == "data,project=SAN pm25=12.5 1700000000")
+
+    // the formatter feeds the budgeted forwarding channel unchanged
+    val sent = scala.collection.mutable.ArrayBuffer[String]()
+    val budget = new ChannelBudget("influx", () => 0L)
+    val stats = forwardBatch(lines.filter(_ != null).toSeq,
+      Seq((budget, (l: String) => { sent += l; () })))
+    assert(stats("influx") == 3L && sent.size == 3)
+  }
 }
