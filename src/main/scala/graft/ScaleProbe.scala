@@ -18,7 +18,10 @@ import org.apache.spark.sql.expressions.Window
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mults = args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt)
+    val annMode = args.lift(2).contains("ann")
+    val mults =
+      if (annMode) Array(1)
+      else args.lift(1).getOrElse("1,3,10").split(",").map(_.toInt)
     val dedupMode = args.lift(2).contains("dedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -31,6 +34,7 @@ object ScaleProbe {
     spark.range(1000000).selectExpr("sum(id % 7)").collect() // warmup
 
     if (dedupMode) { probeDedup(spark, sfDir, mults); spark.stop(); return }
+    if (annMode) { probeAnn(spark, sfDir); spark.stop(); return }
 
     val base = Tables.events(spark, sfDir)
     // offsets derived from the data so replicas stay disjoint at ANY sf
@@ -85,6 +89,43 @@ object ScaleProbe {
       println(s"""{"mult":$m,"rows":$rows,"agg_s":$tAgg,"window_s":$tWin,"asof_join_s":$tJoin,"zscore_s":$tZ}""")
     }
     spark.stop()
+  }
+
+  /** ANN quality probe: recall@k of the LSH and IVF paths against the
+    * brute-force ground truth on the real embeddings table, across the
+    * bucketing parameter. Guards against silently-empty buckets/cells at
+    * scale — a bucketed ANN that returns *something* can still have
+    * drifted to recall≈0, which no row-count check catches. One JSON line
+    * per configuration. `runMain graft.ScaleProbe <sfDir> - ann` */
+  private def probeAnn(spark: SparkSession, sfDir: String): Unit = {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val n = emb.count()
+    val (nQ, k) = (64, 10)
+    val exact = operators.Similarity.knnBruteForce(
+      emb, col("vec_id"), col("embedding"), nQ, k).cache()
+    exact.count()
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+    }
+    for (planes <- Seq(4, 6, 8)) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annLsh(emb, col("vec_id"), col("embedding"),
+          planes, nQ, k), exact, k))
+      println(s"""{"probe":"ann","method":"lsh","planes":$planes,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+    }
+    for (bands <- Seq(2, 4, 8)) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annLshBanded(emb, col("vec_id"), col("embedding"),
+          4, bands, nQ, k), exact, k))
+      println(s"""{"probe":"ann","method":"lsh_banded","planes_per_band":4,"bands":$bands,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+    }
+    for (cents <- Seq(8, 16, 32)) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annIvf(emb, col("vec_id"), col("embedding"),
+          cents, nQ, k), exact, k))
+      println(s"""{"probe":"ann","method":"ivf","centroids":$cents,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+    }
   }
 
   /** Near-dup shapes over replicated documents. Each replica's text is

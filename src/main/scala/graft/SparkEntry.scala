@@ -799,6 +799,14 @@ object SparkEntry {
           Multimodal.syntheticPngTable(Tables.documents(s, d), col("doc_id")))
         .toDF().select(col("media_id"), col("width"), col("height"),
           Resample.roundStable(col("brightness"), 4).as("brightness")))
+  ,
+
+    // Q66 — multi-band LSH ANN (the recall knob over q30's single band):
+    // 4 bands × 4 planes, candidates = any-band bucket collision, exact
+    // cosine top-3 over the union. See docs/SCALING.md recall table.
+    "q66_ann_lsh_banded" -> ((s, d) =>
+      Similarity.annLshBanded(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), 4, 4, 32, 3))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1578,6 +1586,29 @@ object SparkEntry {
           SELECT doc_id AS media_id, w AS width, h AS height,
                  CAST(round(CAST(sum(v) / count(*) AS DECIMAL(18,6)), 4)
                    AS DOUBLE) AS brightness
-          FROM px GROUP BY 1, 2, 3"""
+          FROM px GROUP BY 1, 2, 3""",
+
+    "q66_ann_lsh_banded" ->
+      s"""WITH pl AS (SELECT CAST(vec_id // 4 AS INT) AS band,
+                        CAST(vec_id % 4 AS INT) AS p, embedding AS p_v
+                      FROM embeddings WHERE vec_id < 16),
+          bk AS (SELECT e.vec_id AS id, band,
+                   CAST(sum(CASE WHEN ${Similarity.dotSql("e.embedding", "p_v")} >= 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM embeddings e CROSS JOIN pl GROUP BY 1, 2),
+          q AS (SELECT id AS q_id, band AS q_band, bucket AS q_bucket FROM bk
+                WHERE id < 32),
+          cand AS (SELECT DISTINCT q_id, c.id AS n_id
+                   FROM bk c JOIN q ON q_band = c.band AND q_bucket = c.bucket
+                     AND q_id != c.id),
+          scored AS (SELECT q_id, n_id,
+                       ${Similarity.cosineSql("qe.embedding", "ne.embedding")} AS cos
+                     FROM cand
+                     JOIN embeddings qe ON qe.vec_id = q_id
+                     JOIN embeddings ne ON ne.vec_id = n_id)
+          SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+          WHERE rank <= 3"""
   )
 }

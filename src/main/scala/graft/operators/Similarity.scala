@@ -145,6 +145,76 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Multi-band LSH ANN: `bands` independent signed-random-projection
+    * codes of `planesPerBand` bits each (band b uses corpus vectors
+    * [b·P, (b+1)·P) as its planes); a corpus vector is a candidate for a
+    * query when they share ANY band's bucket. Exact cosine top-k over the
+    * unioned candidates.
+    *
+    * This is the recall knob the single-band [[annLsh]] lacks: measured on
+    * the sf0.1 embeddings (random vectors — the hard case, see
+    * docs/SCALING.md), recall@10 rises from 0.15 (1 band) towards 1 with
+    * added bands while each band's bucket stays small. Scale shape: one
+    * bucket-equi-join per band (B small, e.g. 4-8) + a distinct on
+    * (q_id, n_id) + one top-k window — no all-pairs path; per-band
+    * fan-out is still N/2^P. */
+  def annLshBanded(emb: DataFrame, id: Column, vec: Column,
+                   planesPerBand: Int, bands: Int, nQueries: Int,
+                   k: Int): DataFrame = {
+    ensureRegistered(emb)
+    val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+    val pl = base.where(col("id") < planesPerBand * bands)
+      .select((col("id") / planesPerBand).cast("int").as("band"),
+        pmod(col("id"), lit(planesPerBand)).cast("int").as("p"),
+        col("v").as("p_v"))
+    // (id, band) -> bucket code within that band
+    val coded = base.join(broadcast(pl))
+      .groupBy(col("id"), col("band"))
+      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
+        call_function("shiftleft", lit(1L), col("p")))
+        .otherwise(0L)).as("bucket"))
+    val q = coded.where(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("band").as("q_band"),
+        col("bucket").as("q_bucket"))
+    val cand = coded.join(broadcast(q),
+        col("q_band") === col("band") && col("q_bucket") === col("bucket") &&
+          col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id")).distinct()
+    val scored = cand
+      .join(base.select(col("id"), col("v"), col("n2")), cand("n_id") === col("id"))
+      .join(broadcast(base.where(col("id") < nQueries)
+        .select(col("id").as("qq"), col("v").as("q_v"), col("n2").as("q_n2"))),
+        col("q_id") === col("qq"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_v"), col("v")) / sqrt(col("q_n2") * col("n2"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Recall@k of an ANN result against the brute-force ground truth:
+    * per query, |ANN top-k ∩ exact top-k| / k (the standard ANN quality
+    * metric). Both inputs are the `(q_id, rank, n_id, cos)` shape the ANN
+    * operators emit. Distributed: one equi-join on (q_id, n_id) + one
+    * aggregation — usable at full corpus scale as a shadow-quality job.
+    * Queries the ANN missed entirely (empty bucket/cell) still count:
+    * the right-join keeps every exact-side query at recall 0. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = ann.where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    val e = exact.where(col("rank") <= k).select(col("q_id"), col("n_id"))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))) / lit(k)).as("recall"))
+  }
+
+  /** Mean recall@k over all queries (one double). */
+  def meanRecallAtK(ann: DataFrame, exact: DataFrame, k: Int): Double =
+    recallAtK(ann, exact, k).agg(avg(col("recall"))).head().getDouble(0)
+
   /** LSH-bucketed ANN: exact cosine top-k *within the query's bucket*.
     * Same output shape as [[knnBruteForce]]; recall < 1 by design. */
   def annLsh(emb: DataFrame, id: Column, vec: Column,

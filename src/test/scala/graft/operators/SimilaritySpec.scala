@@ -97,4 +97,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
     ann.foreach { case (k, c) => assert(bf(k) == c) }
   }
+
+  test("banded LSH: superset of each band's candidates, cosines exact, recall ≥ single band") {
+    val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
+    val banded = Similarity.annLshBanded(emb, col("vec_id"), col("embedding"), 2, 2, 5, 4)
+    val single = Similarity.annLsh(emb, col("vec_id"), col("embedding"), 2, 5, 4)
+    val bfMap = bf.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    banded.collect().foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      assert(bfMap(key) == r.getAs[Double]("cos"), s"cosine mismatch at $key")
+    }
+    // band 0 of the banded variant uses the same planes as annLsh(2):
+    // adding a band can only add candidates, so recall must not drop
+    assert(Similarity.meanRecallAtK(banded, bf, 4) >=
+      Similarity.meanRecallAtK(single, bf, 4))
+  }
+
+  test("recall@k: exact vs itself = 1; missing queries count as 0") {
+    import spark.implicits._
+    val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
+    assert(Similarity.meanRecallAtK(bf, bf, 4) == 1.0)
+    // ANN that only answered query 0, and only got 2 of its 4 right:
+    // the other 4 queries must drag the mean down, not vanish.
+    val partial = bf.where(col("q_id") === 0 && col("rank") <= 2)
+    val perQ = Similarity.recallAtK(partial, bf, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perQ.size == 5, "every ground-truth query appears")
+    assert(perQ(0L) == 0.5 && (1L to 4L).forall(perQ(_) == 0.0))
+    assert(Similarity.meanRecallAtK(partial, bf, 4) == 0.1)
+  }
 }
