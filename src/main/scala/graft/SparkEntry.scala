@@ -806,7 +806,16 @@ object SparkEntry {
     // cosine top-3 over the union. See docs/SCALING.md recall table.
     "q66_ann_lsh_banded" -> ((s, d) =>
       Similarity.annLshBanded(Tables.embeddings(s, d),
-        col("vec_id"), col("embedding"), 4, 4, 32, 3))
+        col("vec_id"), col("embedding"), 4, 4, 32, 3)),
+
+    // Q67 — the forecast.pl assembly (scripts/forecast.pl): hourly AQI
+    // forecast per location, zero-filled gaps, closed-form AQI→PM2.5
+    // inverse, LKI presentation index (1-dec half-up) + colour/quality
+    // classes, emitted as per-location JSON series arrays. user_id % 5
+    // plays the location key.
+    "q67_forecast_series" -> ((s, d) =>
+      Forecast.assemble(Tables.events(s, d),
+        col("user_id") % 5, col("ts"), col("value")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1609,6 +1618,45 @@ object SparkEntry {
           SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
                         ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
-          WHERE rank <= 3"""
+          WHERE rank <= 3""",
+
+    // Staged CTEs mirror Forecast.assemble stage by stage; every scalar is
+    // rendered from the same PiecewiseTable / classify definitions as the
+    // Spark plan (inverseSql / sqlCase / classifySql twins).
+    "q67_forecast_series" ->
+      s"""WITH hourly AS (
+            SELECT user_id % 5 AS loc,
+                   (epoch_us(ts)//1000000)//3600*3600 AS hr,
+                   floor(CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4)
+                     AS DOUBLE)) AS aqi
+            FROM events GROUP BY 1, 2),
+          bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+          spine AS (SELECT loc, hr
+                    FROM (SELECT DISTINCT loc FROM hourly),
+                         (SELECT unnest(range(lo, hi + 3600, 3600)) AS hr
+                          FROM bounds)),
+          filled AS (SELECT s.loc, s.hr, coalesce(h.aqi, 0) AS aqi
+                     FROM spine s LEFT JOIN hourly h USING (loc, hr)),
+          conv AS (SELECT loc, hr,
+                     ${AirQuality.aqiPm25.inverseSql("aqi")} AS pm25
+                   FROM filled),
+          idx AS (SELECT loc, hr, pm25,
+                    floor((${AirQuality.lkiPm25.sqlCase("pm25")}) * 10 + 0.5)
+                      / 10.0 AS lki
+                  FROM conv),
+          cls AS (SELECT loc, hr, pm25, lki,
+                    ${AirQuality.classifySql("lki",
+                      AirQuality.lkiColorIndex, AirQuality.lkiColors)} AS color,
+                    ${AirQuality.classifySql("lki",
+                      AirQuality.lkiQualityIndex, AirQuality.lkiQuality)} AS qual
+                  FROM idx)
+          SELECT loc, min(hr) AS start_s, count(*) AS hours,
+                 to_json(list(pm25 ORDER BY hr)) AS pm25_json,
+                 to_json(list(lki ORDER BY hr)) AS lki_json,
+                 to_json(list(color ORDER BY hr)) AS colors_json,
+                 to_json(list(qual ORDER BY hr)) AS qual_json,
+                 CAST(round(CAST(${Forecast.pm10ToPm25Sql("avg(pm25) * 2")}
+                   AS DECIMAL(18,6)), 1) AS DOUBLE) AS pm25_from_pm10
+          FROM cls GROUP BY loc"""
   )
 }

@@ -75,6 +75,37 @@ object AirQuality {
       val r = if (outInteger) s"round($chain, 0)" else s"($chain)"
       s"CASE WHEN $v IS NULL THEN NULL WHEN $c < 0 THEN 0 ELSE least($r, $cap) END"
     }
+
+    /** Closed-form inverse: the concentration whose interpolated index is
+      * `i0`, rounded half-up to 1 decimal (the forward functions' finest
+      * input resolution). The reference inverts numerically — `GET_PM25`
+      * (`scripts/forecast.pl:232-244`) walks the forward AQI routine in
+      * halving steps until it brackets the target — because its forward
+      * function is an opaque subroutine; each segment line is linear, so
+      * the inverse is the same piecewise table solved for c:
+      * `c = lo + (i − iLo)/slope`, segment picked by `i < next.iLo`.
+      * Values past the last segment's start extrapolate its line (the
+      * mirror of the forward clamp). Divergence (documented): closed form
+      * instead of bisection — exact where the reference is ±step/2ⁿ.
+      */
+    def inverseColumn(i0: Column): Column = {
+      def seg(s: Segment) = lit(s.lo) + (i0 - lit(s.iLo)) / lit(s.slope)
+      val chain = segments.init.zip(segments.tail).foldRight(seg(segments.last)) {
+        case ((s, nxt), els) => when(i0 < nxt.iLo, seg(s)).otherwise(els)
+      }
+      when(i0.isNull, null).when(i0 <= 0, null)
+        .otherwise(floor(chain * 10 + 0.5) / 10.0)
+    }
+
+    /** SQL twin of [[inverseColumn]] for the DuckDB oracle. */
+    def inverseSql(v: String): String = {
+      def seg(s: Segment) = s"(${s.lo} + (($v) - ${s.iLo}) / ${s.slope})"
+      val chain = segments.init.zip(segments.tail).foldRight(seg(segments.last)) {
+        case ((s, nxt), els) =>
+          s"CASE WHEN ($v) < ${nxt.iLo} THEN ${seg(s)} ELSE $els END"
+      }
+      s"CASE WHEN $v IS NULL THEN NULL WHEN ($v) <= 0 THEN NULL ELSE floor(($chain) * 10 + 0.5) / 10.0 END"
+    }
   }
 
   /** US EPA AQI family (`AirQualityIndex.py:233-241` AQItable, `:243` AQIs,
@@ -215,5 +246,55 @@ object AirQuality {
     val mn = indices.map(i => s"CASE WHEN $i >= 0.01 THEN $i ELSE 999.0 END")
       .mkString("least(", ", ", ")")
     s"CASE WHEN $mn + 25.0 >= $mx THEN $mx + 50.0 ELSE $mx END"
+  }
+
+  // ------------------------------------------------- index classification
+
+  /** LKI colour scale (`AirQualityIndex.py:390-395` colors, `:396-401`
+    * colors_index), rendered as `forecast.pl:429`'s `sprintf("#%0.6X")`
+    * strings. Entry 0 (`#0F0F0F`) is the "unknown" colour for index values
+    * below 0.05.
+    */
+  val lkiColors: Seq[String] = Seq(
+    0x0f0f0f, 0x0020c5, 0x002bf7, 0x006df8, 0x009cf9, 0x2dcdfb,
+    0xc4ecfd, 0xfffed0, 0xfffda4, 0xfffd7b, 0xfffc4d, 0xf4e645,
+    0xffb255, 0xff9845, 0xfe7626, 0xff0a17, 0xdc0610, 0xa21794)
+    .map(c => f"#$c%06X")
+
+  /** Class boundaries paired with [[lkiColors]] (strict upper bound pick,
+    * `AirQualityIndex.py:165-168` AQI_view). */
+  val lkiColorIndex: Seq[Double] = Seq(
+    0, 0.05, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.6, 4.2, 4.8,
+    5.4, 6.0, 6.7, 7.4, 8.0, 9.0, 10)
+
+  /** LKI quality qualifiers (`AirQualityIndex.py:402-405` quality; English
+    * message keys — the reference translates to Dutch per LANGUAGE env). */
+  val lkiQuality: Seq[String] =
+    Seq("unknown", "good", "moderate", "unhealthy", "critical")
+
+  /** Boundaries paired with [[lkiQuality]] (`:406-409` quality_index). */
+  val lkiQualityIndex: Seq[Double] = Seq(0, 0.05, 3, 6, 8)
+
+  /** Threshold classification: `labels(i)` where `v < thresholds(i+1)`,
+    * last label for values past the final boundary (`AQI_view`'s loop,
+    * `AirQualityIndex.py:163-169`; the reference would IndexError past the
+    * last boundary — we clamp to the last class instead, the same
+    * total-function stance as the index caps). Null in, null out.
+    */
+  def classify(v: Column, thresholds: Seq[Double], labels: Seq[String]): Column = {
+    require(thresholds.length == labels.length, "thresholds/labels must pair")
+    val chain = labels.init.zip(thresholds.tail).foldRight(lit(labels.last)) {
+      case ((lbl, hi), els) => when(v < hi, lbl).otherwise(els)
+    }
+    when(v.isNull, null).otherwise(chain)
+  }
+
+  /** SQL twin of [[classify]] for the DuckDB oracle. */
+  def classifySql(v: String, thresholds: Seq[Double], labels: Seq[String]): String = {
+    require(thresholds.length == labels.length, "thresholds/labels must pair")
+    val chain = labels.init.zip(thresholds.tail).foldRight(s"'${labels.last}'") {
+      case ((lbl, hi), els) => s"CASE WHEN ($v) < $hi THEN '$lbl' ELSE $els END"
+    }
+    s"CASE WHEN $v IS NULL THEN NULL ELSE $chain END"
   }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.AirQuality
+
+/** The forecast-page assembly pipeline (`scripts/forecast.pl`, 1,739
+  * lines): the reference downloads a per-location hourly AQI forecast
+  * (aqicn.org), zero-fills missing hours (`:333-351` pushes `0` into the
+  * pm25 array for every gap hour), converts each AQI value back to a PM2.5
+  * concentration (`GET_PM25`, `:232-244` — numeric inversion of the US EPA
+  * AQI routine), maps the concentrations onto the presentation index
+  * (LKI), rounds the index half-up to one decimal
+  * (`int($aqi[0]*10+0.5)/10`, `:428`), attaches the class colour
+  * (`sprintf("#%0.6X")`, `:429`) and quality qualifier (`:430`), and emits
+  * the per-location JSON series arrays for the HTML template (`:416-446`
+  * json_PM_forecast).
+  *
+  * Spark-first shape: the whole pipeline is one hash aggregate (hourly
+  * AQI), a broadcast spine join (gap fill — the spine is one row per
+  * bucket, tiny next to the facts), a stack of codegen'd scalar
+  * expressions (closed-form AQI inverse + LKI piecewise + threshold
+  * classification, zero UDFs), and a final per-location sort-collect.
+  * At 100 TB the only shuffles are the hourly aggregate (map-side
+  * partial) and the per-location collect, both keyed by (location, hour)
+  * / location — no all-pairs or driver-side step anywhere.
+  */
+object Forecast {
+
+  /** Assemble per-location forecast series.
+    *
+    * @param events raw observations
+    * @param loc    location key column
+    * @param ts     timestamp column
+    * @param value  the hourly-averaged value is floored to an integer AQI
+    *               forecast (aqicn.org serves integer AQI values)
+    * @return one row per location: `loc, start_s, hours, pm25_json,
+    *         lki_json, colors_json, qual_json` — start epoch + hour count
+    *         (`forecast.pl:380-384` rts{start}/rts{hours}) and the four
+    *         JSON arrays, hour-ordered, `null` entries for gap hours
+    *         (`:419-426` emits undef for missing/zero values).
+    */
+  def assemble(events: DataFrame, loc: Column, ts: Column,
+               value: Column): DataFrame = {
+    // Hourly integer AQI forecast per location. roundStable before floor:
+    // a group mean on a rounding boundary must floor identically in both
+    // engines regardless of summation order.
+    val hourly = events
+      .groupBy(loc.as("loc"), Resample.bucketEpochS(ts, 3600).as("hr"))
+      .agg(floor(Resample.roundStable(avg(value), 4)).as("aqi"))
+
+    // Gap fill: every location gets the full global hour spine; missing
+    // hours carry AQI 0 (forecast.pl:333-351's zero-push).
+    val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val spine = hourly.select(col("loc")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("loc"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+    val filled = spine.join(hourly, Seq("loc", "hr"), "left")
+      .withColumn("aqi", coalesce(col("aqi"), lit(0L)))
+
+    // Staged selects (the q51 pattern): each scalar is a large when-tree
+    // referenced downstream — materialize as attributes so CollapseProject
+    // doesn't inline the chain once per reference.
+    val pm25 = filled.select(col("loc"), col("hr"),
+      AirQuality.aqiPm25.inverseColumn(col("aqi")).as("pm25"))
+    val lki = pm25.select(col("loc"), col("hr"), col("pm25"),
+      (floor(AirQuality.lkiPm25.column(col("pm25")) * 10 + 0.5) / 10.0)
+        .as("lki"))
+    val classified = lki.select(col("loc"), col("hr"), col("pm25"), col("lki"),
+      AirQuality.classify(col("lki"),
+        AirQuality.lkiColorIndex, AirQuality.lkiColors).as("color"),
+      AirQuality.classify(col("lki"),
+        AirQuality.lkiQualityIndex, AirQuality.lkiQuality).as("qual"))
+
+    // Hour-ordered series arrays: struct sort on the leading hr field
+    // keeps the collect order-deterministic across partitioned runs.
+    classified
+      .groupBy(col("loc"))
+      .agg(min(col("hr")).as("start_s"), count(lit(1)).as("hours"),
+        sort_array(collect_list(struct(col("hr"), col("pm25"), col("lki"),
+          col("color"), col("qual")))).as("s"),
+        // The reference's stated PM10→PM2.5 regression (forecast.pl:36),
+        // exercised over the series mean (pm10 proxied as 2×pm25, the same
+        // synthetic pairing q51 uses).
+        Resample.roundStable(
+          pm10ToPm25(avg(col("pm25")) * 2), 1).as("pm25_from_pm10"))
+      .select(col("loc"), col("start_s"), col("hours"),
+        to_json(transform(col("s"), _.getField("pm25"))).as("pm25_json"),
+        to_json(transform(col("s"), _.getField("lki"))).as("lki_json"),
+        to_json(transform(col("s"), _.getField("color"))).as("colors_json"),
+        to_json(transform(col("s"), _.getField("qual"))).as("qual_json"),
+        col("pm25_from_pm10"))
+  }
+
+  /** PM10 → PM2.5 regression stated by the reference
+    * (`scripts/forecast.pl:36`: "PM10 -> PM2.5 ~= 814.2 + 0.468*PM10" —
+    * coefficients reproduced verbatim, intercept oddity included). */
+  def pm10ToPm25(pm10: Column): Column = lit(814.2) + lit(0.468) * pm10
+
+  /** SQL twin of [[pm10ToPm25]]. */
+  def pm10ToPm25Sql(pm10: String): String = s"(814.2 + 0.468 * ($pm10))"
+}
