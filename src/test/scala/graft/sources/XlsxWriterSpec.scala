@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** K9 — XLSX report writer. The strongest check is the round trip through
+  * [[XlsxSource]] (an independent parser: the reader consumes the OOXML
+  * parts, not the writer's in-memory model), covering typed columns —
+  * long, double, string (with XML-hostile characters), timestamp (via the
+  * date-style contract). Multi-sheet grouping mirrors Things2XLSX's
+  * per-region sheets. */
+class XlsxWriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("single-sheet round trip through XlsxSource preserves types and values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "report.xlsx").getAbsolutePath
+    val df = Seq(
+      (1L, 12.5, "Grubbenvorst", "2024-01-01 10:30:00"),
+      (2L, -3.25, "Horst a/d <Maas> & \"co\"", "2024-06-15 23:59:59"),
+      (3L, 490.02, "Venray", "2025-12-31 00:00:00"))
+      .toDF("station", "pm25", "name", "ts_s")
+      .select($"station", $"pm25", $"name",
+        $"ts_s".cast("timestamp").as("placed"))
+    XlsxWriter.write(df, file)
+
+    val back = XlsxSource.read(spark, file)
+    assert(back.columns.toSeq == Seq("station", "pm25", "name", "placed"))
+    assert(back.schema("station").dataType.typeName == "long")
+    assert(back.schema("pm25").dataType.typeName == "double")
+    assert(back.schema("name").dataType.typeName == "string")
+    assert(back.schema("placed").dataType.typeName == "timestamp")
+    val rows = back.orderBy("station").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(12.5, -3.25, 490.02))
+    assert(rows(1).getString(2) == "Horst a/d <Maas> & \"co\"")
+    // timestamps round-trip to the second (serial double carries micros)
+    val ts = back.select(date_format($"placed", "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("placed").as[String].collect()
+    assert(ts.toSeq == Seq("2024-01-01 10:30:00", "2024-06-15 23:59:59",
+      "2025-12-31 00:00:00"))
+  }
+
+  test("nulls survive the round trip as nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "nulls.xlsx").getAbsolutePath
+    val df = Seq((1L, Some(2.5), Some("a")), (2L, None, None))
+      .toDF("id", "v", "s")
+    XlsxWriter.write(df, file)
+    val rows = XlsxSource.read(spark, file).orderBy("id").collect()
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(0).getDouble(1) == 2.5 && rows(0).getString(2) == "a")
+  }
+
+  test("sheetBy groups rows into per-region worksheets (Things2XLSX shape)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "regions.xlsx").getAbsolutePath
+    val df = Seq(
+      ("Limburg", "Grubbenvorst", 3L), ("Limburg", "Horst", 5L),
+      ("Brabant", "Eindhoven", 7L))
+      .toDF("region", "station", "sensors")
+    XlsxWriter.write(df, file, sheetBy = Some("region"))
+
+    val zf = new ZipFile(file)
+    try {
+      val names = zf.stream().map(_.getName).toArray.map(_.toString).toSet
+      assert(names.contains("xl/worksheets/sheet1.xml"))
+      assert(names.contains("xl/worksheets/sheet2.xml"))
+      assert(!names.contains("xl/worksheets/sheet3.xml"))
+      val wb = new String(zf.getInputStream(
+        zf.getEntry("xl/workbook.xml")).readAllBytes(), "UTF-8")
+      // sheets sorted by region name
+      assert(wb.indexOf("name=\"Brabant\"") < wb.indexOf("name=\"Limburg\""))
+      val s2 = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet2.xml")).readAllBytes(), "UTF-8")
+      assert(s2.contains("Grubbenvorst") && s2.contains("Horst"))
+      assert(!s2.contains("Eindhoven"))
+    } finally zf.close()
+
+    // XlsxSource reads the first sheet (Brabant) of a multi-sheet book
+    val first = XlsxSource.read(spark, file).collect()
+    assert(first.length == 1 && first(0).getString(1) == "Eindhoven")
+  }
+
+}
