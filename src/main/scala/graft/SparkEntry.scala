@@ -815,7 +815,19 @@ object SparkEntry {
     // plays the location key.
     "q67_forecast_series" -> ((s, d) =>
       Forecast.assemble(Tables.events(s, d),
-        col("user_id") % 5, col("ts"), col("value")))
+        col("user_id") % 5, col("ts"), col("value"))),
+
+    // Q68 — REAL audio decode (javax.sound.sampled): encode a
+    // deterministic PCM WAV per doc_id, decode the actual container
+    // bytes back, report rate/samples/duration/RMS/peak from decoded
+    // frames. Oracle computes the same closed-form (PCM is lossless; the
+    // Σs² integer is exact in both engines).
+    "q68_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(
+          Multimodal.syntheticWavTable(Tables.documents(s, d), col("doc_id")))
+        .toDF().select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_s"), Resample.roundStable(col("rms"), 4).as("rms"),
+          col("peak")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1657,6 +1669,26 @@ object SparkEntry {
                  to_json(list(qual ORDER BY hr)) AS qual_json,
                  CAST(round(CAST(${Forecast.pm10ToPm25Sql("avg(pm25) * 2")}
                    AS DECIMAL(18,6)), 1) AS DOUBLE) AS pm25_from_pm10
-          FROM cls GROUP BY loc"""
+          FROM cls GROUP BY loc""",
+
+    // Expected decode output computed closed-form from the WAV generation
+    // rule (Multimodal.syntheticWav): n = 64 + id%65, s(i) =
+    // (id*31 + i*17) % 65536 - 32768, rate 8000. The engine instead
+    // round-trips real RIFF/WAVE bytes through javax.sound.sampled.
+    // Σs² stays integer (exact) until the final normalization.
+    "q68_audio_decode" ->
+      """WITH m AS (SELECT doc_id, 64 + CAST(doc_id % 65 AS INT) AS n
+            FROM documents),
+          s AS (SELECT doc_id, n,
+                  ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+                FROM m, range(0, 129) i(i) WHERE i.i < n)
+          SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+                 CAST(n AS BIGINT) AS n_samples,
+                 CAST(n AS DOUBLE) / 8000 AS duration_s,
+                 CAST(round(CAST(sqrt(CAST(sum(v*v) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 32768.0 * 32768.0))
+                   AS DECIMAL(18,6)), 4) AS DOUBLE) AS rms,
+                 CAST(max(abs(v)) AS DOUBLE) / 32768 AS peak
+          FROM s GROUP BY doc_id, n"""
   )
 }

@@ -132,6 +132,94 @@ object Multimodal {
     }
   }
 
+  /** Decoded features of one audio object. `rms`/`peak` are normalized to
+    * [-1, 1] full scale; `sum_sq` style exactness notes in [[decodeAudio]]. */
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
+                          duration_s: Double, rms: Double, peak: Double)
+
+  /** Deterministic synthetic audio corpus: one REAL RIFF/WAVE file per id
+    * (PCM signed 16-bit little-endian, mono, 8 kHz). Sample count and every
+    * sample value are closed-form functions of the id
+    * (`n = 64 + id%65`, `s(i) = (id·31 + i·17) mod 65536 − 32768`), so an
+    * oracle computes the expected decode output arithmetically while the
+    * engine path round-trips through actual WAV container bytes (PCM is
+    * lossless — decoded samples equal the generation rule exactly). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 64 + Math.floorMod(id, 65L).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16)   // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((Math.floorMod(id * 31 + i * 17L, 65536L) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Media table of real WAV blobs keyed by an id column. */
+  def syntheticWavTable(docs: DataFrame, id: Column): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(id.cast("long")).as[Long]
+      .mapPartitions(_.map(i => MediaRecord(i, "audio/wav", syntheticWav(i))))
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (JDK built-in —
+    * no external codec deps) parses the container and yields the PCM
+    * format + frames; sample count, duration, RMS and peak come from the
+    * decoded samples, not from metadata. The squared-sample sum is kept
+    * as an exact integer (16-bit samples: Σs² ≤ n·2³⁰, no rounding) and
+    * normalized only at the end, so the oracle's integer arithmetic lands
+    * on the identical double. Undecodable blobs surface as an error row
+    * (negative rate) rather than killing the job — the reference's
+    * tolerate-and-log decode stance (MyLoRaCode.py:434-530). */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val fmt = ain.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"unsupported PCM layout: $fmt")
+            val bytes = ain.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / 2
+            var sumSq = 0L
+            var peak = 0L
+            var i = 0
+            while (i < n) {
+              val s = bb.getShort(i * 2).toLong
+              sumSq += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            val rate = fmt.getSampleRate.toInt
+            DecodedAudio(m.media_id, rate, n,
+              n.toDouble / rate,
+              if (n == 0) 0.0
+              else math.sqrt(sumSq.toDouble / (n.toDouble * 32768.0 * 32768.0)),
+              peak.toDouble / 32768.0)
+          } finally ain.close()
+        } catch { case _: Exception =>
+          DecodedAudio(m.media_id, -1, 0, 0.0, Double.NaN, Double.NaN)
+        }
+      }
+    }
+  }
+
   /** Column-level feature extraction on the binary payload — byte count
     * and a strided byte-code checksum ("frame sampling": every `stride`-th
     * byte). Pure codegen-able expressions; the DuckDB oracle mirrors them

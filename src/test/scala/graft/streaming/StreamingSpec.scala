@@ -307,4 +307,31 @@ class StreamingSpec extends AnyFunSuite {
     val b = Multimodal.decodeImages(bad).collect().head
     assert(b.width == -1 && b.brightness.isNaN)
   }
+
+  test("multimodal REAL audio decode: javax.sound round-trips generated WAVs") {
+    import graft.operators.Multimodal
+    // Engine path: real RIFF/WAVE encode -> real AudioSystem decode.
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val dec = Multimodal.decodeAudio(
+        Multimodal.syntheticWavTable(ids, col("doc_id")))
+      .collect().sortBy(_.media_id)
+    assert(dec.length == 40)
+    dec.foreach { d =>
+      val id = d.media_id
+      val n = 64 + (id % 65).toInt
+      assert(d.sample_rate == 8000 && d.n_samples == n)
+      assert(d.duration_s == n.toDouble / 8000)
+      // decoded samples equal the generation rule (PCM is lossless)
+      val samples = (0 until n).map(i =>
+        Math.floorMod(id * 31 + i * 17L, 65536L) - 32768)
+      val sumSq = samples.map(s => s * s).sum
+      assert(d.rms == math.sqrt(sumSq.toDouble / (n.toDouble * 32768.0 * 32768.0)))
+      assert(d.peak == samples.map(math.abs).max.toDouble / 32768.0)
+    }
+    // a non-WAV blob yields an error-marker row, not a crash
+    val bad = Seq(Multimodal.MediaRecord(99L, "audio/wav",
+      Array[Byte](1, 2, 3))).toDS()
+    val b = Multimodal.decodeAudio(bad).collect().head
+    assert(b.sample_rate == -1 && b.rms.isNaN)
+  }
 }
