@@ -827,7 +827,13 @@ object SparkEntry {
           Multimodal.syntheticWavTable(Tables.documents(s, d), col("doc_id")))
         .toDF().select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("duration_s"), Resample.roundStable(col("rms"), 4).as("rms"),
-          col("peak")))
+          col("peak"))),
+
+    // Q69 — RRD round-robin archive consolidation (K8, Get_data.pl
+    // :498-549): AVERAGE/MIN/MAX × six spans, 785-row retention, xff 0.5.
+    // The six archive branches reuse one hourly-PDP exchange.
+    "q69_rrd_retention" -> ((s, d) =>
+      RrdArchive.consolidate(Tables.events(s, d), col("ts"), col("value")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1689,6 +1695,34 @@ object SparkEntry {
                      / (CAST(n AS DOUBLE) * 32768.0 * 32768.0))
                    AS DECIMAL(18,6)), 4) AS DOUBLE) AS rms,
                  CAST(max(abs(v)) AS DOUBLE) / 32768 AS peak
-          FROM s GROUP BY doc_id, n"""
+          FROM s GROUP BY doc_id, n""",
+
+    // The RRA grid (span_hours, pdp_per_row) mirrors RrdArchive
+    // .referenceRras: pdp_per_row = (span_h + 785) // 785, W = 785 rows.
+    "q69_rrd_retention" ->
+      """WITH pdp AS (SELECT (epoch_us(ts)//1000000)//3600*3600 AS pdp_ts,
+                 CAST(round(CAST(avg(value) AS DECIMAL(18,6)),4) AS DOUBLE)
+                   AS pdp_v
+            FROM events GROUP BY 1),
+          mx AS (SELECT max(pdp_ts) AS max_ts FROM pdp),
+          rra(span_h, ppr) AS (VALUES (24, 1), (168, 1), (720, 1),
+            (8760, 12), (26280, 34), (52560, 67)),
+          cdp AS (SELECT span_h, ppr,
+                    (pdp_ts // (ppr*3600)) * (ppr*3600) AS row_ts,
+                    CAST(round(CAST(avg(pdp_v) AS DECIMAL(18,6)),4) AS DOUBLE)
+                      AS avg_v,
+                    min(pdp_v) AS min_v, max(pdp_v) AS max_v,
+                    count(*) AS n_pdp
+                  FROM pdp, rra, mx
+                  WHERE pdp_ts >= ((max_ts // (ppr*3600)) - 784) * (ppr*3600)
+                  GROUP BY 1, 2, 3)
+          SELECT span_h, cf, row_ts,
+                 CASE WHEN n_pdp*2 >= ppr THEN v END AS value, n_pdp
+          FROM (SELECT span_h, ppr, row_ts, 'AVERAGE' AS cf, avg_v AS v,
+                       n_pdp FROM cdp
+                UNION ALL SELECT span_h, ppr, row_ts, 'MIN', min_v, n_pdp
+                          FROM cdp
+                UNION ALL SELECT span_h, ppr, row_ts, 'MAX', max_v, n_pdp
+                          FROM cdp)"""
   )
 }
