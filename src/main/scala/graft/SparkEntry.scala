@@ -833,7 +833,20 @@ object SparkEntry {
     // :498-549): AVERAGE/MIN/MAX × six spans, 785-row retention, xff 0.5.
     // The six archive branches reuse one hourly-PDP exchange.
     "q69_rrd_retention" -> ((s, d) =>
-      RrdArchive.consolidate(Tables.events(s, d), col("ts"), col("value")))
+      RrdArchive.consolidate(Tables.events(s, d), col("ts"), col("value"))),
+
+    // Q70 — REAL multi-frame sampling: encode a deterministic animated
+    // GIF per doc_id, enumerate container frames, decode every 2nd frame
+    // only. Oracle computes the same closed-form (GIF palette encodes
+    // grayscale losslessly).
+    "q70_video_frames" -> ((s, d) =>
+      Multimodal.sampleVideoFrames(
+          Multimodal.syntheticGifTable(Tables.documents(s, d), col("doc_id")),
+          stride = 2)
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("sampled_frames"),
+          Resample.roundStable(col("sampled_brightness"), 4)
+            .as("sampled_brightness")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1723,6 +1736,27 @@ object SparkEntry {
                 UNION ALL SELECT span_h, ppr, row_ts, 'MIN', min_v, n_pdp
                           FROM cdp
                 UNION ALL SELECT span_h, ppr, row_ts, 'MAX', max_v, n_pdp
-                          FROM cdp)"""
+                          FROM cdp)""",
+
+    // Expected sampling output computed closed-form from the GIF
+    // generation rule (Multimodal.syntheticGif): frames = 1 + id%7,
+    // w = 8 + id%5, h = 8 + (id*3)%5, gray(f,x,y) = (id+11f+3x+5y)%256;
+    // stride 2 samples frames 0,2,4,6. The engine instead round-trips
+    // real animated-GIF bytes through the ImageIO reader.
+    "q70_video_frames" ->
+      """WITH m AS (SELECT doc_id, 1 + CAST(doc_id % 7 AS INT) AS n,
+                 8 + CAST(doc_id % 5 AS INT) AS w,
+                 8 + CAST((doc_id * 3) % 5 AS INT) AS h
+            FROM documents),
+          px AS (SELECT doc_id, n, w, h,
+                   CAST((doc_id + 11*f.i + 3*x.i + 5*y.i) % 256 AS DOUBLE)
+                     AS v
+                 FROM m, range(0, 7) f(i), range(0, 13) x(i), range(0, 13) y(i)
+                 WHERE f.i < n AND f.i % 2 = 0 AND x.i < w AND y.i < h)
+          SELECT doc_id AS media_id, w AS width, h AS height, n AS n_frames,
+                 CAST((n + 1) // 2 AS INT) AS sampled_frames,
+                 CAST(round(CAST(sum(v) / count(*) AS DECIMAL(18,6)), 4)
+                   AS DOUBLE) AS sampled_brightness
+          FROM px GROUP BY 1, 2, 3, 4, 5"""
   )
 }

@@ -220,6 +220,113 @@ object Multimodal {
     }
   }
 
+  /** Decoded features of one multi-frame (video-like) object: container
+    * dims, total frame count, and mean luminance over the SAMPLED frames
+    * (every `stride`-th), the cheap proxy a 100 TB video pipeline
+    * computes instead of decoding every frame. */
+  case class DecodedVideo(media_id: Long, width: Int, height: Int,
+                          n_frames: Int, sampled_frames: Int,
+                          sampled_brightness: Double)
+
+  /** Deterministic synthetic multi-frame corpus: one REAL animated GIF per
+    * id (the one multi-frame container the JDK reads AND writes without
+    * external codecs). Frame count, dims and every pixel are closed-form:
+    * `frames = 1 + id%7`, `w = 8 + id%5`, `h = 8 + (id·3)%5`,
+    * `gray(f,x,y) = (id + 11f + 3x + 5y) % 256`. A grayscale frame has
+    * ≤ 256 distinct colors, so GIF's palette encodes it losslessly —
+    * decoded samples equal the rule exactly (spec-enforced). */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val frames = 1 + Math.floorMod(id, 7L).toInt
+    val w = 8 + Math.floorMod(id, 5L).toInt
+    val h = 8 + Math.floorMod(id * 3, 5L).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            Math.floorMod(id + 11L * f + 3L * x + 5L * y, 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Media table of real animated-GIF blobs keyed by an id column. */
+  def syntheticGifTable(docs: DataFrame, id: Column): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(id.cast("long")).as[Long]
+      .mapPartitions(_.map(i => MediaRecord(i, "image/gif", syntheticGif(i))))
+  }
+
+  /** REAL frame sampling: the ImageIO GIF reader enumerates container
+    * frames (`getNumImages`), and only every `stride`-th frame is decoded
+    * to pixels — the I/O pattern that makes frame-sampling cheap at scale
+    * (decode cost ∝ sampled frames, not total). Reader instance reused
+    * across a partition (codec construction amortized); undecodable blobs
+    * yield an error row (negative dims). */
+  def sampleVideoFrames(media: Dataset[MediaRecord],
+                        stride: Int): Dataset[DecodedVideo] = {
+    require(stride >= 1, "stride must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { m =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            reader.setInput(iis, false)
+            val n = reader.getNumImages(true)
+            var sum = 0L
+            var pixels = 0L
+            var sampled = 0
+            var w = 0; var h = 0
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f)
+              w = img.getWidth; h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (img.getRGB(x, y) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              pixels += w.toLong * h
+              sampled += 1
+              f += stride
+            }
+            DecodedVideo(m.media_id, w, h, n, sampled,
+              if (pixels == 0) 0.0 else sum.toDouble / pixels)
+          } finally iis.close()
+        } catch { case _: Exception =>
+          DecodedVideo(m.media_id, -1, -1, 0, 0, Double.NaN)
+        }
+      }
+    }
+  }
+
   /** Column-level feature extraction on the binary payload — byte count
     * and a strided byte-code checksum ("frame sampling": every `stride`-th
     * byte). Pure codegen-able expressions; the DuckDB oracle mirrors them

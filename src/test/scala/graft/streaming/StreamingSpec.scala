@@ -334,4 +334,32 @@ class StreamingSpec extends AnyFunSuite {
     val b = Multimodal.decodeAudio(bad).collect().head
     assert(b.sample_rate == -1 && b.rms.isNaN)
   }
+
+  test("multimodal REAL frame sampling: animated GIF round-trip, stride decode") {
+    import graft.operators.Multimodal
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val dec = Multimodal.sampleVideoFrames(
+        Multimodal.syntheticGifTable(ids, col("doc_id")), stride = 2)
+      .collect().sortBy(_.media_id)
+    assert(dec.length == 40)
+    dec.foreach { d =>
+      val id = d.media_id
+      val n = 1 + (id % 7).toInt
+      assert(d.n_frames == n, s"id=$id frames")
+      assert(d.width == 8 + (id % 5).toInt && d.height == 8 + ((id * 3) % 5).toInt)
+      assert(d.sampled_frames == (n + 1) / 2)
+      // sampled-frame mean equals the closed-form rule (GIF grayscale is
+      // palette-lossless)
+      val vals = for (f <- 0 until n by 2; y <- 0 until d.height;
+                      x <- 0 until d.width)
+        yield Math.floorMod(id + 11L * f + 3L * x + 5L * y, 256L).toDouble
+      assert(math.abs(d.sampled_brightness - vals.sum / vals.size) < 1e-9,
+        s"id=$id brightness")
+    }
+    // a non-GIF blob yields an error-marker row, not a crash
+    val bad = Seq(Multimodal.MediaRecord(99L, "image/gif",
+      Array[Byte](1, 2, 3))).toDS()
+    val b = Multimodal.sampleVideoFrames(bad, 2).collect().head
+    assert(b.width == -1 && b.n_frames == 0)
+  }
 }
