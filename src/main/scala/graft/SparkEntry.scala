@@ -846,7 +846,17 @@ object SparkEntry {
         .toDF().select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("sampled_frames"),
           Resample.roundStable(col("sampled_brightness"), 4)
-            .as("sampled_brightness")))
+            .as("sampled_brightness"))),
+
+    // Q71 — sensor-plugin sliding buffer (S8, MyThreading.py:97-205):
+    // last-5-polls buffer per sensor, numpy-interpolated quartiles,
+    // asymmetric Q1-based IQR filter, 3-decimal mean, mid-range stamp.
+    "q71_sensor_buffer" -> ((s, d) =>
+      SensorBuffer.slidingAverage(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          eS(col("ts")), col("value"), bufSize = 5)
+        .select(col("user_id"), col("event_id"), col("mid_ts"),
+          col("n_buf"), col("n_kept"), col("buf_avg")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1757,6 +1767,25 @@ object SparkEntry {
                  CAST((n + 1) // 2 AS INT) AS sampled_frames,
                  CAST(round(CAST(sum(v) / count(*) AS DECIMAL(18,6)), 4)
                    AS DOUBLE) AS sampled_brightness
-          FROM px GROUP BY 1, 2, 3, 4, 5"""
+          FROM px GROUP BY 1, 2, 3, 4, 5""",
+
+    // Frame list → sorted → the shared quartile/filter/mean rendering
+    // (SensorBuffer.slidingAverageSql) — one definition, two engines.
+    "q71_sensor_buffer" -> {
+      val (_, nKept, avg) = SensorBuffer.slidingAverageSql("vals")
+      s"""WITH f AS (SELECT user_id, event_id,
+                 epoch_us(ts)//1000000 AS t,
+                 list_sort(list(value) OVER w) AS vals,
+                 min(epoch_us(ts)//1000000) OVER w AS t0
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id,
+                 CAST(t0 + t AS DOUBLE) / 2 AS mid_ts,
+                 CAST(len(vals) AS INT) AS n_buf,
+                 CAST($nKept AS INT) AS n_kept,
+                 $avg AS buf_avg
+          FROM f"""
+    }
   )
 }
