@@ -888,10 +888,13 @@ object SparkEntry {
     * is interpolated from the SAME Scala implementation the engine uses
     * ([[graft.functions.Stats.grubbsCritical]]) via `Double.toString`
     * (shortest-repr round-trips through DuckDB's parser exactly), so both
-    * sides compare against identical doubles. n ≤ 128 covers the data
-    * (max group size 99 at sf0.1); groups never grow during iteration. */
+    * sides compare against identical doubles. n ≤ 1024 bounds the table:
+    * a group beyond it would silently END the oracle's recursion (the
+    * crit join finds no row) while the engine kept iterating — max group
+    * size is 99 at sf0.1, so 1024 is a 10× safety margin, and the VALUES
+    * list stays trivially small. */
   private def grubbsCritTable: String =
-    (15 to 128).map(n =>
+    (15 to 1024).map(n =>
       s"($n, ${graft.functions.Stats.grubbsCritical(n, 0.05)})").mkString(", ")
 
   /** The shared recursive skeleton: seed must yield (keys…, vals, n0)

@@ -27,7 +27,12 @@ object Grubbs {
     * grubbs.py:466); removal can leave minN−1 values, matching the
     * reference loop (and the round-1 `grubbsRange` it replaced). */
   def test(values: Array[Double], alpha: Double, minN: Int): Result = {
-    val buf = scala.collection.mutable.ArrayBuffer(values.toSeq: _*)
+    // Sorted ascending: the aggregation buffer arrives in partition/merge
+    // order, but the DuckDB oracle sums a list_sort'ed list — summing in
+    // the SAME order keeps mean/sd bit-identical, so a G statistic within
+    // one ulp of the critical value can't flip the remove/stop decision
+    // differently in the two engines. (Also makes `worst` = last index.)
+    val buf = scala.collection.mutable.ArrayBuffer(values.sorted.toSeq: _*)
     var removed = 0
     var continue = buf.length >= minN
     while (continue) {

@@ -110,8 +110,13 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = javax.imageio.ImageIO.read(
+        // ImageIO.read returns null only when NO reader claims the bytes;
+        // a recognized-but-corrupt blob (valid magic, truncated body)
+        // THROWS from the format reader instead — catch both paths into
+        // the same error row.
+        val img = try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
         if (img == null) DecodedMedia(m.media_id, -1, -1, 0, Double.NaN)
         else {
           val (w, h) = (img.getWidth, img.getHeight)

@@ -122,8 +122,12 @@ object SensorBuffer {
     val lo = q1 - (q3 - q1) * 1.5 - 1e-6
     val hi = q1 + (q3 - q1) * 1.5 + 1e-6
     val kept = vals.filter(v => v >= lo && v <= hi)
+    // EXACTLY roundStable(x, 3): decimal(18,6) half-up first, then 3 —
+    // a single setScale(3) would round x.0004999… differently and break
+    // the spec-enforced batch/stream parity
     val avg = if (kept.isEmpty) None
       else Some(BigDecimal(kept.sum / kept.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
     BufAvg("", "", buffer.last._1,
       (buffer.map(_._1).min + buffer.last._1) / 2.0,
@@ -133,7 +137,11 @@ object SensorBuffer {
   /** Streaming shape: per (kit, sensor) the buffer is explicit state;
     * every arriving poll appends, trims to `bufSize`, and emits one
     * [[BufAvg]] — `bufCollect`'s publish-per-poll loop. Use with
-    * `OutputMode.Append`. */
+    * `OutputMode.Append`. Batch parity (SensorBufferSpec) holds when
+    * `ts` is unique per sensor — the reference's poll loop guarantees
+    * monotone times; with duplicate timestamps the within-tie buffer
+    * order (here (ts, value); batch: the caller's order columns) can
+    * differ, which only permutes the intermediate averages. */
   def slidingAverageStream(readings: Dataset[Reading],
                            bufSize: Int): Dataset[BufAvg] = {
     import readings.sparkSession.implicits._

@@ -35,10 +35,15 @@ object HtmlTableSource {
   private val CellRe  = "(?is)<(th|td)[^>]*>(.*?)</t[hd]>".r
   private val TagRe   = "(?s)<[^>]*>".r
 
+  // hoisted: these run once per CELL on executors — no per-call Map
+  // allocation or regex compilation in the hot path
+  private val NamedEntities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> "\u00A0")
+  private val EntityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
   private[sources] def decodeEntities(s: String): String = {
-    val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-      "apos" -> "'", "nbsp" -> " ")
-    "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(s, m => {
+    val named = NamedEntities
+    EntityRe.replaceAllIn(s, m => {
       val e = m.group(1)
       val out =
         if (e.startsWith("#x") || e.startsWith("#X"))
@@ -77,15 +82,21 @@ object HtmlTableSource {
     * rewrites `:` to `.` because its MySQL layer wants hour.minute
     * pseudo-numbers (`:1813-1819`); a typed DataFrame keeps them strings
     * for a real timestamp parse downstream. */
+  // hoisted for the same per-cell reason as EntityRe
+  private val JunkRe = java.util.regex.Pattern.compile("[^0-9.\\-]")
+  private val InnerDashRe = java.util.regex.Pattern.compile("(?<=.)-")
+  private val NumberRe =
+    java.util.regex.Pattern.compile("-?[0-9]+(\\.[0-9]*)?|-?\\.[0-9]+")
+
   private[sources] def numericText(s: String): Option[String] = {
     if (!s.exists(_.isDigit) || s.contains(":")) None
     else {
-      val t = s.replace(',', '.').replaceAll("[^0-9.\\-]", "")
-        .replaceAll("(?<=.)-", "") // inner dashes are junk, not signs
+      val t0 = JunkRe.matcher(s.replace(',', '.')).replaceAll("")
+      val t = InnerDashRe.matcher(t0).replaceAll("") // inner dashes are junk
       val clean = if (t.count(_ == '.') > 1)
         t.takeWhile(_ != '.') + "." + t.dropWhile(_ != '.').replace(".", "")
       else t
-      if (clean.matches("-?[0-9]+(\\.[0-9]*)?|-?\\.[0-9]+")) Some(clean)
+      if (NumberRe.matcher(clean).matches()) Some(clean)
       else None
     }
   }

@@ -39,8 +39,10 @@ object XlsxSource {
   private final case class Cell(text: String, isDate: Boolean)
 
   /** Excel serial-date epoch: 1899-12-30T00:00:00Z (the conventional
-    * offset that absorbs Excel's 1900 leap-year bug for serials >= 60). */
-  private val ExcelEpochSec = -2209161600L
+    * offset that absorbs Excel's 1900 leap-year bug for serials >= 60).
+    * Shared with [[XlsxWriter]] — one definition keeps the round-trip
+    * contract unbreakable. */
+  private[sources] val ExcelEpochSec = -2209161600L
 
   // ---------------------------------------------------------------- parse
 

@@ -39,8 +39,8 @@ object XlsxWriter {
   /** The OOXML worksheet row limit (ECMA-376 §18.3.1.73 dimension). */
   val SheetRowLimit: Int = 1048576
 
-  /** Excel serial-date epoch, shared with [[XlsxSource]]. */
-  private val ExcelEpochSec = -2209161600L
+  /** Excel serial-date epoch — [[XlsxSource]]'s single definition. */
+  private val ExcelEpochSec = XlsxSource.ExcelEpochSec
 
   private def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -73,7 +73,9 @@ object XlsxWriter {
       case TimestampType | TimestampNTZType =>
         val micros = v match {
           case t: java.sql.Timestamp =>
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+            // floorDiv: pre-1970 fractional seconds must floor like the
+            // reader's floorDiv/floorMod pair, not truncate toward zero
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           case i: java.time.Instant =>
             i.getEpochSecond * 1000000L + i.getNano / 1000L
           case l: java.time.LocalDateTime =>

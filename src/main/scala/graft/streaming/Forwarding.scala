@@ -140,9 +140,9 @@ object Forwarding {
 
   // ------------------------------------------- InfluxDB line protocol (K5)
 
-  /** Escape for measurement names / tag keys / tag values / field keys per
-    * the public InfluxDB line-protocol spec: backslash-escape `\`, `,`,
-    * `=`, and space. Pure Column chain — codegen'd, no UDF. */
+  /** Escape for tag keys / tag values / field keys per the public
+    * InfluxDB line-protocol spec: backslash-escape `\`, `,`, `=`, and
+    * space. Pure Column chain — codegen'd, no UDF. */
   private def lpEscape(c: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -150,6 +150,16 @@ object Forwarding {
           regexp_replace(c, "\\\\", "\\\\\\\\"),
           ",", "\\\\,"),
         "=", "\\\\="),
+      " ", "\\\\ ")
+
+  /** Measurement names escape only `,` and space (`=` is NOT special in
+    * the measurement position — escaping it would store a literal
+    * backslash and break lookups of measurements containing `=`). */
+  private def lpEscapeMeasurement(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "\\\\", "\\\\\\\\"),
+        ",", "\\\\,"),
       " ", "\\\\ ")
 
   /** One field value rendered like the reference's `Influx_write`
@@ -189,11 +199,15 @@ object Forwarding {
       when(c.isNotNull,
         concat(lit(lpEscapeLiteral(n) + "="), lpFieldValue(c, schema.fields(i).dataType)))
     }: _*)
-    val head = concat(lpEscape(measurement),
+    val head = concat(lpEscapeMeasurement(measurement),
       when(tagSet === "", lit("")).otherwise(concat(lit(","), tagSet)))
     val withFields = concat(head, lit(" "), fieldSet)
     val line = timeSec match {
-      case Some(t) => concat(withFields, lit(" "), t.cast("long").cast("string"))
+      // null timestamp must NOT null-propagate over the whole telegram:
+      // fall back to a timestamp-less line (server-assigned time), the
+      // reference skips null VALUES, never whole records
+      case Some(t) => when(t.isNull, withFields)
+        .otherwise(concat(withFields, lit(" "), t.cast("long").cast("string")))
       case None    => withFields
     }
     // reference: `if not len(data_values): return True` — no empty telegrams
