@@ -47,6 +47,21 @@ class XlsxWriterSpec extends AnyFunSuite {
       "2025-12-31 00:00:00"))
   }
 
+  test("pre-epoch fractional timestamps round-trip (floorDiv, not truncate)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "preepoch.xlsx").getAbsolutePath
+    // 1969-12-31T23:59:59.500Z: getTime = -500 ms — truncating division
+    // would shift it one second late
+    val df = Seq((1L, "1969-12-31 23:59:59.5")).toDF("id", "t")
+      .select($"id", $"t".cast("timestamp").as("placed"))
+    XlsxWriter.write(df, file)
+    val back = XlsxSource.read(spark, file)
+      .select(date_format(col("placed"), "yyyy-MM-dd HH:mm:ss.S"))
+      .as[String].head()
+    assert(back == "1969-12-31 23:59:59.5")
+  }
+
   test("nulls survive the round trip as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xlsxw").toFile

@@ -159,4 +159,18 @@ class ForwardingSpec extends AnyFunSuite {
       Seq((budget, (l: String) => { sent += l; () })))
     assert(stats("influx") == 3L && sent.size == 3)
   }
+
+  test("influx line protocol: measurement '=' kept, null time falls back") {
+    val df = Seq(("a=b", Some(1.5), Some(7L)), ("a=b", Some(2.5), None))
+      .toDF("mtype", "pm25", "t")
+    val lines = df.select(influxLine(df, col("mtype"),
+        tags = Nil, fields = Seq("pm25" -> col("pm25")),
+        timeSec = Some(col("t"))).as("line"))
+      .collect().map(_.getString(0)).sorted
+    // '=' is NOT special in the measurement position — no backslash
+    assert(lines(0) == "a=b pm25=1.5 7")
+    // a null timestamp must not null the telegram: timestamp-less line
+    // (server-assigned time), never a dropped record
+    assert(lines(1) == "a=b pm25=2.5")
+  }
 }

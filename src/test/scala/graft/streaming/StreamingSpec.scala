@@ -306,6 +306,13 @@ class StreamingSpec extends AnyFunSuite {
       Array[Byte](1, 2, 3))).toDS()
     val b = Multimodal.decodeImages(bad).collect().head
     assert(b.width == -1 && b.brightness.isNaN)
+    // recognized-but-corrupt: valid PNG magic, truncated body — the PNG
+    // reader THROWS (ImageIO.read only returns null when no reader
+    // claims the bytes); must yield the same error row, not kill the job
+    val corrupt = Seq(Multimodal.MediaRecord(98L, "image/png",
+      Multimodal.syntheticPng(1L).take(24))).toDS()
+    val c = Multimodal.decodeImages(corrupt).collect().head
+    assert(c.width == -1 && c.brightness.isNaN)
   }
 
   test("multimodal REAL audio decode: javax.sound round-trips generated WAVs") {
