@@ -85,8 +85,21 @@ object ScaleProbe {
         operators.Outliers.zscoreOutliers(e, col("user_id"), col("value"), 2.5)
           .write.mode("overwrite").format("noop").save()
       }
+      // r5 shapes: RRD multi-resolution consolidation (six branches over
+      // ONE reused PDP exchange — must track the single-agg cost, not 6×)
+      // and the sensor sliding buffer (window + HOF chain).
+      val tRrd = time {
+        operators.RrdArchive.consolidate(e, col("ts"), col("value"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      val tBuf = time {
+        operators.SensorBuffer.slidingAverage(e, Seq(col("user_id")),
+            Seq(col("ts"), col("event_id")),
+            unix_timestamp(col("ts")), col("value"), 5)
+          .write.mode("overwrite").format("noop").save()
+      }
       val rows = e.count()
-      println(s"""{"mult":$m,"rows":$rows,"agg_s":$tAgg,"window_s":$tWin,"asof_join_s":$tJoin,"zscore_s":$tZ}""")
+      println(s"""{"mult":$m,"rows":$rows,"agg_s":$tAgg,"window_s":$tWin,"asof_join_s":$tJoin,"zscore_s":$tZ,"rrd_s":$tRrd,"sensor_buf_s":$tBuf}""")
     }
     spark.stop()
   }
