@@ -34,7 +34,10 @@ object Bench {
     val unknown = names.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min-of-3 default: r4's "regression cluster" and r5's q71 blip were
+    // both first-run codegen / CPU bursts leaking through min-of-2 — the
+    // third run costs ~40% more bench wall-clock and removes that mode.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => names.isEmpty || names.contains(q._1))
     val results = selected.map { case (name, fn) =>
