@@ -856,7 +856,18 @@ object SparkEntry {
           Seq(col("user_id")), Seq(col("ts"), col("event_id")),
           eS(col("ts")), col("value"), bufSize = 5)
         .select(col("user_id"), col("event_id"), col("mid_ts"),
-          col("n_buf"), col("n_kept"), col("buf_avg")))
+          col("n_buf"), col("n_kept"), col("buf_avg"))),
+
+    // Q72 — duplicate-cluster resolution: hash-min connected components
+    // over q27's MinHash pair graph, min-id survivor per cluster — the
+    // step a dedup pipeline runs AFTER pair generation to actually drop
+    // rows. Oracle: recursive-CTE transitive closure over the SAME pair
+    // SQL.
+    "q72_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, d),
+          col("doc_id"), col("text"), 3, 16, 4, 0.5),
+        col("d1"), col("d2")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -896,6 +907,33 @@ object SparkEntry {
   private def grubbsCritTable: String =
     (15 to 1024).map(n =>
       s"($n, ${graft.functions.Stats.grubbsCritical(n, 0.05)})").mkString(", ")
+
+  /** MinHash(16) + LSH(4×4) verified pair SQL — q27's oracle, and the
+    * pair definition q72's transitive closure builds on (one rendering,
+    * two queries: the cluster oracle can't drift from the pair oracle). */
+  private lazy val minhashPairsSql: String = {
+    val sh = TextFunctions.shinglesSql("text", 3)
+    val mins = (0 until 16).map(j =>
+      s"min(${TextFunctions.minhashPermSql("h", j)}) AS m$j").mkString(", ")
+    val bandCase = (0 until 4).map(b =>
+      s"WHEN $b THEN concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
+      .mkString("CASE band ", " ", " END")
+    s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
+        h AS (SELECT id, ${TextFunctions.hash32Sql("s")} AS h FROM sh),
+        sig AS (SELECT id, $mins FROM h GROUP BY id),
+        banded AS (SELECT id, band, $bandCase AS bkey
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
+        cand AS (SELECT DISTINCT x.id AS d1, y.id AS d2 FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (SELECT c.d1, c.d2, count(*) AS n_inter FROM cand c
+                  JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.s = a.s
+                  GROUP BY 1, 2),
+        j AS (SELECT d1, d2,
+                round(n_inter / CAST(n1.n_sh + n2.n_sh - n_inter AS DOUBLE), 4) AS jac
+              FROM inter JOIN sizes n1 ON n1.id = d1 JOIN sizes n2 ON n2.id = d2)
+        SELECT d1, d2, jac FROM j WHERE jac >= 0.5"""
+  }
 
   /** The shared recursive skeleton: seed must yield (keys…, vals, n0)
     * with vals sorted ascending; the final row per key group is the one
@@ -1138,29 +1176,7 @@ object SparkEntry {
           SELECT d1, d2, jac FROM j WHERE jac >= 0.5"""
     },
 
-    "q27_minhash_lsh" -> {
-      val sh = TextFunctions.shinglesSql("text", 3)
-      val mins = (0 until 16).map(j =>
-        s"min(${TextFunctions.minhashPermSql("h", j)}) AS m$j").mkString(", ")
-      val bandCase = (0 until 4).map(b =>
-        s"WHEN $b THEN concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
-        .mkString("CASE band ", " ", " END")
-      s"""WITH sh AS (SELECT doc_id AS id, unnest($sh) AS s FROM documents),
-          h AS (SELECT id, ${TextFunctions.hash32Sql("s")} AS h FROM sh),
-          sig AS (SELECT id, $mins FROM h GROUP BY id),
-          banded AS (SELECT id, band, $bandCase AS bkey
-                     FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
-          cand AS (SELECT DISTINCT x.id AS d1, y.id AS d2 FROM banded x JOIN banded y
-                   ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
-          sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-          inter AS (SELECT c.d1, c.d2, count(*) AS n_inter FROM cand c
-                    JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.s = a.s
-                    GROUP BY 1, 2),
-          j AS (SELECT d1, d2,
-                  round(n_inter / CAST(n1.n_sh + n2.n_sh - n_inter AS DOUBLE), 4) AS jac
-                FROM inter JOIN sizes n1 ON n1.id = d1 JOIN sizes n2 ON n2.id = d2)
-          SELECT d1, d2, jac FROM j WHERE jac >= 0.5"""
-    },
+    "q27_minhash_lsh" -> minhashPairsSql,
 
     "q28_simhash" -> {
       val tk = TextFunctions.tokensSql("text")
@@ -1789,6 +1805,24 @@ object SparkEntry {
                  CAST($nKept AS INT) AS n_kept,
                  $avg AS buf_avg
           FROM f"""
-    }
+    },
+
+    // Transitive closure over the SHARED pair SQL: reach(n, m) saturates
+    // each component (near-dup clusters are tiny, the closure is cheap),
+    // min reachable id = the engine's hash-min fixpoint label.
+    "q72_dup_clusters" ->
+      s"""WITH RECURSIVE
+          pairs AS ($minhashPairsSql),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2, d1 FROM pairs),
+          reach(n, m) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+          comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+          SELECT n AS doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+                 (n = cluster_id) AS is_survivor
+          FROM comp"""
   )
 }

@@ -229,4 +229,64 @@ object Dedup {
       .where(col("fp_rank") <= k)
       .select(col("id"), col("fp_rank"), col("h").as("fp_hash"))
   }
+
+  /** Connected components over a near-dup pair graph by hash-min label
+    * propagation: every node starts labelled with its own id; each round
+    * every node takes the min of its label and its neighbours' labels;
+    * fixpoint labels are the component minima. Deterministic (min is
+    * order-free), so the result is oracle-comparable bit-for-bit.
+    *
+    * This is the step a dedup pipeline runs AFTER pair generation
+    * (q26-q28/q46 emit pairs; production must then pick one survivor per
+    * duplicate cluster). Scale shape: rounds = O(component diameter) —
+    * near-dup clusters are shallow (pairs are mutual near-copies), so a
+    * handful of rounds; each round is one equi-join + one hash aggregate
+    * on the EDGE table (2|pairs| rows), never on the corpus. Convergence
+    * is detected by the label-sum invariant: labels only ever decrease,
+    * so an unchanged sum ⇒ fixpoint (one cheap agg per round, no
+    * row-by-row diff). At 100 TB you would checkpoint `labels` every few
+    * rounds to truncate lineage — noted here, pointless at test scale.
+    *
+    * @return one row per node that appears in a pair:
+    *         `(n, label)` = (doc id, component id = min doc id reachable)
+    */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("n")).distinct()
+      .withColumn("label", col("n"))
+    val sum0 = labels.agg(sum(col("label"))).head()
+    if (sum0.isNullAt(0)) { edges.unpersist(); return labels } // no pairs
+    var prevSum = sum0.getLong(0)
+    var iter = 0
+    var fixed = false
+    while (!fixed && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("n"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      labels = labels.join(nbrMin, col("n") === col("src"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      fixed = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    require(fixed, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Survivor selection over [[connectedComponents]]: per duplicate
+    * cluster keep the min-id doc (the reference keep-first policy); every
+    * clustered doc gets its cluster id, size, and survivor flag — the
+    * drop set is `!is_survivor`. */
+  def dupClusters(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+    val w = Window.partitionBy(col("label"))
+    comp.select(col("n").as("doc_id"), col("label").as("cluster_id"),
+      count(lit(1)).over(w).as("n_docs"),
+      (col("n") === col("label")).as("is_survivor"))
+  }
 }

@@ -108,4 +108,35 @@ class DedupSpec extends AnyFunSuite {
     val hs = fp.map(_.getAs[Long]("fp_hash"))
     assert(hs.sorted.sameElements(hs) && hs.distinct.length == 4)
   }
+
+  test("connected components: chain, triangle+tail, pair — min-id labels") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // triangle 10-11-12 with tail 13, isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (21L, 20L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs, $"d1", $"d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: min-id survivor, cluster sizes; empty pairs OK") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val pairs = Seq((5L, 7L), (7L, 6L)).toDF("d1", "d2")
+    val cl = Dedup.dupClusters(pairs, $"d1", $"d2")
+      .orderBy("doc_id").collect()
+    assert(cl.map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+    assert(cl.forall(_.getLong(1) == 5L))
+    assert(cl.forall(_.getLong(2) == 3L))
+    assert(cl.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
+    // no pairs → no clustered docs, not a crash
+    val none = Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"), $"d1", $"d2")
+    assert(none.count() == 0)
+  }
 }
