@@ -867,7 +867,16 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.minhashLshPairs(Tables.documents(s, d),
           col("doc_id"), col("text"), 3, 16, 4, 0.5),
-        col("d1"), col("d2")))
+        col("d1"), col("d2"))),
+
+    // Q73 — the weather half of forecast.pl (Get_weather_forecast
+    // :557-660): a REAL yr.no-document encode→nested-from_json→explode
+    // round-trip; start epoch = earliest timeseries time, hour count,
+    // per-variable hourly arrays. Oracle computes the same closed-form
+    // from events — a hash match proves the JSON leg.
+    "q73_weather_series" -> ((s, d) =>
+      Forecast.weatherSeries(Tables.events(s, d),
+        col("user_id") % 5, col("ts"), col("value")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1823,6 +1832,26 @@ object SparkEntry {
           SELECT n AS doc_id, cluster_id,
                  count(*) OVER (PARTITION BY cluster_id) AS n_docs,
                  (n = cluster_id) AS is_survivor
-          FROM comp"""
+          FROM comp""",
+
+    // Closed-form twin of the weather assembly (the engine path goes
+    // through a real yr.no JSON encode→parse; the oracle computes the
+    // same hourly variables directly).
+    "q73_weather_series" ->
+      """WITH hourly AS (
+            SELECT user_id % 5 AS loc,
+                   (epoch_us(ts)//1000000)//3600*3600 AS hr,
+                   CAST(round(CAST(avg(value)/10 AS DECIMAL(18,6)),1)
+                     AS DOUBLE) AS temp,
+                   CAST(round(CAST(990.0 + avg(value)/20 AS DECIMAL(18,6)),1)
+                     AS DOUBLE) AS pres,
+                   CAST(round(CAST(least(avg(value)/5, 100.0)
+                     AS DECIMAL(18,6)),1) AS DOUBLE) AS cloud
+            FROM events GROUP BY 1, 2)
+          SELECT loc, min(hr) AS start_s, count(*) AS hours,
+                 to_json(list(temp ORDER BY hr)) AS temp_json,
+                 to_json(list(pres ORDER BY hr)) AS pressure_json,
+                 to_json(list(cloud ORDER BY hr)) AS cloud_json
+          FROM hourly GROUP BY loc"""
   )
 }

@@ -101,4 +101,77 @@ object Forecast {
 
   /** SQL twin of [[pm10ToPm25]]. */
   def pm10ToPm25Sql(pm10: String): String = s"(814.2 + 0.468 * ($pm10))"
+
+  // ------------------------------------------------------- weather half
+
+  /** The yr.no document schema the reference consumes
+    * (`forecast.pl:502-534` shows the payload shape;
+    * `Get_weather_forecast :557-660` walks `timeseries[*].time` for the
+    * start epoch / hour count and passes the series to the template). */
+  private val YrNoSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """properties STRUCT<timeseries: ARRAY<STRUCT<
+      |  time: STRING,
+      |  data: STRUCT<instant: STRUCT<details: STRUCT<
+      |    air_temperature: DOUBLE,
+      |    air_pressure_at_sea_level: DOUBLE,
+      |    cloud_area_fraction: DOUBLE>>>>>>""".stripMargin.replace("\n", " "))
+
+  /** The weather half of the forecast page: assemble a per-location
+    * yr.no-shaped JSON forecast document, then do what the reference does
+    * with one — parse the nested timeseries, find the earliest `time` as
+    * the start epoch, count the hours, and emit the per-variable hourly
+    * arrays for the chart template.
+    *
+    * The ENCODE leg is fixture plumbing (the sandbox has no egress, so
+    * the document is synthesized from `events` exactly like the PNG/WAV
+    * fixtures); the decode leg is the real operator: a full nested
+    * `from_json` + explode + ISO-8601 parse — the semi-structured
+    * ingestion shape every external-API source needs. An oracle computes
+    * the same output closed-form from the base table, so a hash match
+    * proves the JSON round-trip, not string plumbing.
+    */
+  def weatherSeries(events: DataFrame, loc: Column, ts: Column,
+                    value: Column): DataFrame = {
+    // hourly weather variables (deterministic synthetic mapping)
+    val hourly = events
+      .groupBy(loc.as("loc"), Resample.bucketEpochS(ts, 3600).as("hr"))
+      .agg(Resample.roundStable(avg(value) / 10, 1).as("air_temperature"),
+        Resample.roundStable(lit(990.0) + avg(value) / 20, 1)
+          .as("air_pressure_at_sea_level"),
+        Resample.roundStable(least(avg(value) / 5, lit(100.0)), 1)
+          .as("cloud_area_fraction"))
+
+    // ENCODE: one yr.no-shaped document per location
+    val doc = hourly
+      .groupBy(col("loc"))
+      .agg(to_json(struct(struct(sort_array(collect_list(struct(
+        date_format(timestamp_seconds(col("hr")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+        struct(struct(struct(
+          col("air_temperature"),
+          col("air_pressure_at_sea_level"),
+          col("cloud_area_fraction")).as("details")).as("instant"))
+          .as("data")))).as("timeseries")).as("properties")))
+        .as("payload"))
+
+    // DECODE: the reference's walk — nested parse, explode, time scan
+    val parsed = doc.select(col("loc"),
+      from_json(col("payload"), YrNoSchema).as("w"))
+    val rows = parsed
+      .select(col("loc"), explode(col("w.properties.timeseries")).as("t"))
+      .select(col("loc"),
+        unix_timestamp(to_timestamp(col("t.time"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("hr"),
+        col("t.data.instant.details.air_temperature").as("temp"),
+        col("t.data.instant.details.air_pressure_at_sea_level").as("pres"),
+        col("t.data.instant.details.cloud_area_fraction").as("cloud"))
+    rows.groupBy(col("loc"))
+      .agg(min(col("hr")).as("start_s"), count(lit(1)).as("hours"),
+        sort_array(collect_list(struct(col("hr"), col("temp"), col("pres"),
+          col("cloud")))).as("s"))
+      .select(col("loc"), col("start_s"), col("hours"),
+        to_json(transform(col("s"), _.getField("temp"))).as("temp_json"),
+        to_json(transform(col("s"), _.getField("pres"))).as("pressure_json"),
+        to_json(transform(col("s"), _.getField("cloud"))).as("cloud_json"))
+  }
 }

@@ -73,6 +73,26 @@ class ForecastSpec extends AnyFunSuite {
     assert(r.getAs[Double]("pm25_from_pm10") == 825.5)
   }
 
+  test("weatherSeries: yr.no JSON round-trip reproduces the hourly values") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "2024-01-01 00:30:00", 100.0), (0L, "2024-01-01 00:45:00", 120.0),
+      (0L, "2024-01-01 01:30:00", 600.0)) // cloud caps at 100
+    val df = rows.toDF("user_id", "ts_s", "value")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"value")
+    val out = Forecast.weatherSeries(df, $"user_id", $"ts", $"value").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("start_s") == 1704067200L)
+    assert(r.getAs[Long]("hours") == 2)
+    // hour 0: avg 110 → temp 11.0, pres 995.5, cloud 22.0
+    // hour 1: avg 600 → temp 60.0, pres 1020.0, cloud 100.0 (capped)
+    assert(r.getAs[String]("temp_json") == "[11.0,60.0]")
+    assert(r.getAs[String]("pressure_json") == "[995.5,1020.0]")
+    assert(r.getAs[String]("cloud_json") == "[22.0,100.0]")
+  }
+
   test("assemble matches the DuckDB-twin semantics on real data") {
     val spark = TestSpark.spark
     val out = graft.SparkEntry.queries("q67_forecast_series")(
