@@ -876,7 +876,21 @@ object SparkEntry {
     // from events — a hash match proves the JSON leg.
     "q73_weather_series" -> ((s, d) =>
       Forecast.weatherSeries(Tables.events(s, d),
-        col("user_id") % 5, col("ts"), col("value")))
+        col("user_id") % 5, col("ts"), col("value"))),
+
+    // Q74 — rule-attributed quality filtering (the C4/Gopher gate with
+    // per-rule audit trail): which rule dropped each document.
+    "q74_quality_filter" -> ((s, d) =>
+      CorpusFilter.withAttribution(Tables.documents(s, d),
+        col("doc_id"), col("text"))),
+
+    // Q75 — deterministic stratified sampling: per-lang keep fractions
+    // via pure hash of (stratum, id) — reproducible, shuffle-free.
+    "q75_stratified_sample" -> ((s, d) =>
+      CorpusFilter.sampleStratified(Tables.documents(s, d),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25), 0.1)
+        .select(col("doc_id"), col("lang"), col("source")))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1852,6 +1866,23 @@ object SparkEntry {
                  to_json(list(temp ORDER BY hr)) AS temp_json,
                  to_json(list(pres ORDER BY hr)) AS pressure_json,
                  to_json(list(cloud ORDER BY hr)) AS cloud_json
-          FROM hourly GROUP BY loc"""
+          FROM hourly GROUP BY loc""",
+
+    "q74_quality_filter" -> {
+      val rs = CorpusFilter.rulesSql("text")
+      val flags = rs.map { case (n, p) => s"$p AS r_$n" }.mkString(", ")
+      val keep = rs.map { case (n, _) => s"r_$n" }.mkString(" AND ")
+      val reasons = rs.map { case (n, _) =>
+        s"CASE WHEN NOT r_$n THEN '$n' END" }.mkString("concat_ws(',', ", ", ", ")")
+      s"""WITH f AS (SELECT doc_id, $flags FROM documents)
+          SELECT doc_id, r_${rs.map(_._1).mkString(", r_")},
+                 ($keep) AS keep, $reasons AS fail_reasons
+          FROM f"""
+    },
+
+    "q75_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${CorpusFilter.sampleStratifiedSql("doc_id", "lang",
+            Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25), 0.1)}"""
   )
 }
