@@ -265,10 +265,18 @@ object Dedup {
     while (!fixed && iter < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("n"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      labels = labels.join(nbrMin, col("n") === col("src"), "left")
+      // persist each round and drop the previous one: without this the
+      // lineage deepens by one join per round and every convergence
+      // check re-executes ALL prior rounds — O(rounds²) work. (At real
+      // scale this persist would be a checkpoint to also truncate the
+      // lineage for fault recovery.)
+      val next = labels.join(nbrMin, col("n") === col("src"), "left")
         .select(col("n"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+        .cache()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
       fixed = s == prevSum
       prevSum = s
       iter += 1
