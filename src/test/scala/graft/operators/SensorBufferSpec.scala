@@ -40,6 +40,24 @@ class SensorBufferSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("buf_avg") == 11.0)
   }
 
+  test("bufAvgOf properties: bounded mean, kept ≤ buffered, mid-ts in range") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genBuf = for {
+      n <- Gen.chooseNum(1, 12)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
+    } yield vs.zipWithIndex.map { case (v, i) => (100L * (i + 1), v) }
+    val p = Prop.forAll(genBuf) { buf =>
+      val r = SensorBuffer.bufAvgOf(buf)
+      val vals = buf.map(_._2)
+      r.n_buf == buf.length &&
+        r.n_kept >= 1 && r.n_kept <= r.n_buf && // Q1±1.5·IQR always keeps Q1
+        r.buf_avg.forall(a => a >= vals.min - 0.001 && a <= vals.max + 0.001) &&
+        r.mid_ts >= buf.head._1 && r.mid_ts <= buf.last._1
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming buffer state equals the batch operator across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

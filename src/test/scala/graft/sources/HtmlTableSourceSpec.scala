@@ -75,6 +75,22 @@ class HtmlTableSourceSpec extends AnyFunSuite {
     assert(names == Seq("Horst & Maas", "Huis <3>"))
   }
 
+  test("numericText property: every Some parses as a finite Double") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCell = Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.2f µg/m³"),
+      Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.1f".replace('.', ',')),
+      Gen.alphaStr, Gen.asciiPrintableStr)
+    val p = Prop.forAll(genCell) { s =>
+      HtmlTableSource.numericText(s).forall { t =>
+        val d = t.toDouble // throws → property fails
+        java.lang.Double.isFinite(d)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("numericText mirrors the reference sanitizer") {
     assert(HtmlTableSource.numericText("48 µg/m³").contains("48"))
     assert(HtmlTableSource.numericText("12,3").contains("12.3"))
