@@ -93,5 +93,19 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     // the dead channel burned its budget and sent nothing
     assert(dead.errorCount > 0 && sent.nonEmpty)
     assert(healthy.errorCount == 0)
+
+    // K8 leg: RRD consolidation over the archive the stream just built
+    // (the reference pipes the same records into rrdtool, Get_data.pl
+    // Add_RRA) — all four keys land in one hourly PDP, one CDP row per CF
+    val rrd = graft.operators.RrdArchive.consolidate(
+        archived, timestamp_seconds(col("ts")), col("value"),
+        rras = Seq(graft.operators.RrdArchive.Rra(24, 1, 3600)))
+      .collect()
+    assert(rrd.length == 3) // AVERAGE, MIN, MAX of the single CDP row
+    val byCf = rrd.map(r => r.getAs[String]("cf") -> r.getAs[Double]("value")).toMap
+    // all three CFs consolidate the ONE hourly PDP (= mean of the 4 rows)
+    val pdp = (18.35 + 21.0 + 9.0 + 40.0) / 4
+    assert(byCf("AVERAGE") == pdp && byCf("MIN") == pdp && byCf("MAX") == pdp)
+    assert(rrd.forall(_.getAs[Long]("n_pdp") == 1L))
   }
 }
