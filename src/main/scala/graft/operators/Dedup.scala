@@ -128,7 +128,12 @@ object Dedup {
         // oracle): this 7.6 s; broadcast-anti-join of the (tiny) hot-
         // shingle set + s-keyed self-join 8.5 s and one more wide shuffle
         // at scale; low-df semi-join 11.5 s; window df-count 17.8 s
-        // (forces a full sort).
+        // (forces a full sort). r5: pre-hashing shingles to 60-bit longs
+        // (md5-prefix, the portable cross-engine hash) to shrink the
+        // shuffle payload measured 10.8 s — the per-shingle md5 chain
+        // costs far more than the string bytes save; with a cheap
+        // non-portable hash (xxhash64) the oracle twin is lost. Strings
+        // stay.
         // collect_list, not collect_set: (id, s) rows are already
         // distinct (array_distinct inside shinglesOfTokens), so the list
         // IS the set — minus the per-element hash-set insert cost inside
