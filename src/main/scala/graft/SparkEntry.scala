@@ -963,7 +963,14 @@ object SparkEntry {
     * with the shortest list (lengths strictly decrease). */
   private def grubbsIterSql(keys: String, seedSql: String): String =
     s"""WITH RECURSIVE crit(n, c) AS (VALUES $grubbsCritTable),
-        seed AS ($seedSql),
+        seed0 AS ($seedSql),
+        -- LOUD guard: past the crit table the recursion would silently
+        -- stop while the engine kept iterating — fail the oracle instead
+        seed AS (SELECT $keys,
+                   CASE WHEN len(vals) > 1024
+                        THEN error('grubbs oracle: group exceeds crit table (n > 1024)')
+                        ELSE vals END AS vals, n0
+                 FROM seed0),
         iter($keys, vals, n0) AS (
           SELECT $keys, vals, n0 FROM seed
           UNION ALL

@@ -118,6 +118,29 @@ object TextFunctions {
 
   // ---------------------------------------------------- quality scoring
 
+  /** Shared quality-signal thresholds — consumed by BOTH the soft
+    * [[qualityScore]] and the hard gates in
+    * [[graft.operators.CorpusFilter]], so tuning one side can't silently
+    * drift from the other. */
+  val QualityMinTok = 5
+  val QualityMaxTok = 2000
+  val QualityMeanLenLo = 2.5
+  val QualityMeanLenHi = 12.0
+
+  /** Mean token length over an already-materialized token array. */
+  def meanTokenLen(tk: Column): Column =
+    length(concat_ws("", tk)).cast("double") / size(tk)
+
+  def meanTokenLenSql(tkE: String): String =
+    s"(length(array_to_string($tkE, '')) / CAST(len($tkE) AS DOUBLE))"
+
+  /** Fraction of characters that are ASCII letters or spaces. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") / length(text)
+
+  def alphaRatioSql(e: String): String =
+    s"(length(regexp_replace($e, '[^A-Za-z ]', '', 'g')) / CAST(length($e) AS DOUBLE))"
+
   /** Composite document quality score in [0,1]: penalizes extreme
     * lengths, missing stopwords, very short mean token length and
     * non-alphabetic noise — the length/punct/stopword recipe of typical
@@ -125,11 +148,11 @@ object TextFunctions {
   def qualityScore(text: Column): Column = {
     val tk = tokens(text)
     val nTok = size(tk).cast("double")
-    val meanLen = (length(concat_ws("", tk)).cast("double") / nTok)
-    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
-      length(text)
+    val meanLen = meanTokenLen(tk)
+    val alpha = alphaRatio(text)
     val stopHit = langScore(text, "en")
-    val lenOk = when(nTok.between(5, 2000), lit(1.0)).otherwise(lit(0.2))
+    val lenOk = when(nTok.between(QualityMinTok, QualityMaxTok), lit(1.0))
+      .otherwise(lit(0.2))
     // NOT rounded: the 0.25-weighted sum frequently lands on exact
     // x.xxxx5 values where Spark HALF_UP (exact decimal) and DuckDB
     // (binary double) disagree; both engines produce the bit-identical
@@ -137,21 +160,23 @@ object TextFunctions {
     least(lit(1.0),
       lit(0.25) * lenOk +
         lit(0.25) * least(lit(1.0), stopHit * 5) +
-        lit(0.25) * when(meanLen.between(2.5, 12.0), 1.0).otherwise(0.3) +
+        lit(0.25) * when(meanLen.between(QualityMeanLenLo, QualityMeanLenHi),
+          1.0).otherwise(0.3) +
         lit(0.25) * alpha)
   }
 
   def qualityScoreSql(e: String): String = {
     val tk = tokensSql(e)
     val nTok = s"CAST(len($tk) AS DOUBLE)"
-    val meanLen = s"(length(array_to_string($tk, '')) / $nTok)"
-    val alpha = s"(length(regexp_replace($e, '[^A-Za-z ]', '', 'g')) / CAST(length($e) AS DOUBLE))"
+    val meanLen = meanTokenLenSql(tk)
+    val alpha = alphaRatioSql(e)
     val stopHit = langScoreSql(e, "en")
-    val lenOk = s"(CASE WHEN $nTok BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.2 END)"
+    val lenOk =
+      s"(CASE WHEN $nTok BETWEEN $QualityMinTok AND $QualityMaxTok THEN 1.0 ELSE 0.2 END)"
     s"""least(1.0,
         0.25 * $lenOk +
         0.25 * least(1.0, $stopHit * 5) +
-        0.25 * (CASE WHEN $meanLen BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.3 END) +
+        0.25 * (CASE WHEN $meanLen BETWEEN $QualityMeanLenLo AND $QualityMeanLenHi THEN 1.0 ELSE 0.3 END) +
         0.25 * $alpha)"""
   }
 

@@ -26,41 +26,37 @@ import graft.functions.TextFunctions
   */
 object CorpusFilter {
 
-  /** Gate thresholds (documented in one place; the SQL twins inline the
-    * same literals). */
-  private val MinTok = 5
-  private val MaxTok = 2000
-  private val MeanLenLo = 2.5
-  private val MeanLenHi = 12.0
+  /** Gate-only thresholds; the length/mean-length bounds are
+    * [[TextFunctions]]' shared quality constants — the SAME values the
+    * soft qualityScore weighs, as hard gates. */
   private val MinAlpha = 0.6
   private val MinStop = 0.08
 
-  /** (rule name, pass predicate) in report order. */
+  /** (rule name, pass predicate) in report order. Signal expressions are
+    * TextFunctions' shared definitions (meanTokenLen/alphaRatio) — one
+    * rendering for score and gate, both engines. */
   def rules(text: Column): Seq[(String, Column)] = {
-    val tk = TextFunctions.tokens(text)
-    val nTok = size(tk).cast("double")
-    val meanLen = length(concat_ws("", tk)).cast("double") / nTok
-    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
-      length(text)
+    import TextFunctions._
+    val tk = tokens(text)
     Seq(
-      "len" -> nTok.between(MinTok, MaxTok),
-      "mean_token_len" -> meanLen.between(MeanLenLo, MeanLenHi),
-      "alpha_ratio" -> (alpha >= MinAlpha),
-      "stopwords" -> (TextFunctions.langScore(text, "en") >= MinStop))
+      "len" -> size(tk).cast("double").between(QualityMinTok, QualityMaxTok),
+      "mean_token_len" ->
+        meanTokenLen(tk).between(QualityMeanLenLo, QualityMeanLenHi),
+      "alpha_ratio" -> (alphaRatio(text) >= MinAlpha),
+      "stopwords" -> (langScore(text, "en") >= MinStop))
   }
 
   /** SQL twins of [[rules]], same names and order. */
   def rulesSql(e: String): Seq[(String, String)] = {
-    val tk = TextFunctions.tokensSql(e)
-    val nTok = s"CAST(len($tk) AS DOUBLE)"
-    val meanLen = s"(length(array_to_string($tk, '')) / $nTok)"
-    val alpha =
-      s"(length(regexp_replace($e, '[^A-Za-z ]', '', 'g')) / CAST(length($e) AS DOUBLE))"
+    import TextFunctions._
+    val tk = tokensSql(e)
     Seq(
-      "len" -> s"($nTok BETWEEN $MinTok AND $MaxTok)",
-      "mean_token_len" -> s"($meanLen BETWEEN $MeanLenLo AND $MeanLenHi)",
-      "alpha_ratio" -> s"($alpha >= $MinAlpha)",
-      "stopwords" -> s"(${TextFunctions.langScoreSql(e, "en")} >= $MinStop)")
+      "len" ->
+        s"(CAST(len($tk) AS DOUBLE) BETWEEN $QualityMinTok AND $QualityMaxTok)",
+      "mean_token_len" ->
+        s"(${meanTokenLenSql(tk)} BETWEEN $QualityMeanLenLo AND $QualityMeanLenHi)",
+      "alpha_ratio" -> s"(${alphaRatioSql(e)} >= $MinAlpha)",
+      "stopwords" -> s"(${langScoreSql(e, "en")} >= $MinStop)")
   }
 
   /** Per-document verdicts: one boolean column per rule, the combined
@@ -75,35 +71,47 @@ object CorpusFilter {
         rs.map { case (n, _) => when(!col(s"r_$n"), lit(n)) }: _*))
   }
 
+  /** The integer keep-threshold in millionths, computed ONCE in Scala
+    * and inlined as a literal into both the Column predicate and the SQL
+    * twin. Computing `floor(frac·1e6)` inside each engine is NOT
+    * engine-stable: Spark floors the binary double while DuckDB parses
+    * the rendered fraction as an exact DECIMAL and multiplies exactly —
+    * ~1.2% of millionth-resolution fractions land one bucket apart
+    * (e.g. 0.001001). One driver-side floor, two identical literals. */
+  private def thresholdMillionths(f: Double): Long = {
+    require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f")
+    math.floor(f * 1000000L).toLong
+  }
+
   /** Deterministic per-stratum hash sampling. `fractions` maps stratum
     * values to keep-fractions (millionths resolution); missing strata
     * use `defaultFraction`. Kept ⟺
-    * `pmod(hash32(stratum || ':' || id), 1e6) < frac·1e6` — no RNG, no
-    * shuffle, reproducible anywhere the hash is. */
+    * `pmod(hash32(stratum || ':' || id), 1e6) < floor(frac·1e6)` — no
+    * RNG, no shuffle, reproducible anywhere the hash is. */
   def sampleStratified(df: DataFrame, id: Column, stratum: Column,
                        fractions: Map[String, Double],
                        defaultFraction: Double): DataFrame = {
-    val frac = fractions.foldRight(lit(defaultFraction)) {
-      case ((s, f), els) => when(stratum === s, lit(f)).otherwise(els)
+    val thr = fractions.foldRight(lit(thresholdMillionths(defaultFraction))) {
+      case ((s, f), els) =>
+        when(stratum === s, lit(thresholdMillionths(f))).otherwise(els)
     }
     val bucket = pmod(
       TextFunctions.hash32(concat(stratum, lit(":"), id.cast("string"))),
       lit(1000000L))
-    // explicit floor: Spark's double→long cast truncates but DuckDB's
-    // CAST rounds — floor() on both sides keeps the threshold identical
-    df.where(bucket < floor(frac * 1000000L))
+    df.where(bucket < thr)
   }
 
-  /** SQL twin of [[sampleStratified]]'s predicate. */
+  /** SQL twin of [[sampleStratified]]'s predicate — same pre-floored
+    * integer thresholds. */
   def sampleStratifiedSql(idE: String, stratumE: String,
                           fractions: Map[String, Double],
                           defaultFraction: Double): String = {
-    val frac = fractions.foldRight(defaultFraction.toString) {
-      case ((s, f), els) => s"CASE WHEN $stratumE = '$s' THEN $f ELSE $els END"
+    val thr = fractions.foldRight(thresholdMillionths(defaultFraction).toString) {
+      case ((s, f), els) =>
+        s"CASE WHEN $stratumE = '$s' THEN ${thresholdMillionths(f)} ELSE $els END"
     }
     val h = TextFunctions.hash32Sql(s"($stratumE || ':' || CAST($idE AS VARCHAR))")
-    // hash32 is in [0, 2^32) — plain % equals pmod for non-negative input;
-    // floor (not CAST) — DuckDB's double→BIGINT cast ROUNDS
-    s"(($h % 1000000) < floor(($frac) * 1000000))"
+    // hash32 is in [0, 2^32) — plain % equals pmod for non-negative input
+    s"(($h % 1000000) < ($thr))"
   }
 }

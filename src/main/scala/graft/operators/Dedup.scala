@@ -255,40 +255,51 @@ object Dedup {
     * @return one row per node that appears in a pair:
     *         `(n, label)` = (doc id, component id = min doc id reachable)
     */
+  /** NOTE: the returned frame is left persisted (its lineage references
+    * intermediate rounds that are already unpersisted — recomputation
+    * would be O(rounds²)); callers that invoke this repeatedly in one
+    * session may `.unpersist()` the result once consumed. `maxIter`
+    * must be ≥ component diameter + 1 (the fixpoint is only OBSERVED one
+    * round after the last label change); the default 64 covers any
+    * realistic near-dup cluster — rounds on an already-converged graph
+    * cost one tiny join each. */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("n")).distinct()
-      .withColumn("label", col("n"))
-    val sum0 = labels.agg(sum(col("label"))).head()
-    if (sum0.isNullAt(0)) { edges.unpersist(); return labels } // no pairs
-    var prevSum = sum0.getLong(0)
-    var iter = 0
-    var fixed = false
-    while (!fixed && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("dst") === col("n"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      // persist each round and drop the previous one: without this the
-      // lineage deepens by one join per round and every convergence
-      // check re-executes ALL prior rounds — O(rounds²) work. (At real
-      // scale this persist would be a checkpoint to also truncate the
-      // lineage for fault recovery.)
-      val next = labels.join(nbrMin, col("n") === col("src"), "left")
-        .select(col("n"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .cache()
-      val s = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
-      labels = next
-      fixed = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    edges.unpersist()
-    require(fixed, s"label propagation did not converge in $maxIter rounds")
-    labels
+      .withColumn("label", col("n")).cache()
+    try {
+      if (labels.isEmpty) return labels // no pairs
+      var iter = 0
+      var fixed = false
+      while (!fixed && iter < maxIter) {
+        val nbrMin = edges.join(labels, col("dst") === col("n"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        // persist each round and drop the previous one: without this the
+        // lineage deepens by one join per round and every convergence
+        // check re-executes ALL prior rounds — O(rounds²) work. (At real
+        // scale this persist would be a checkpoint to also truncate the
+        // lineage for fault recovery.)
+        val next = labels.join(nbrMin, col("n") === col("src"), "left")
+          .select(col("n"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .cache()
+        // convergence = zero CHANGED labels this round — type-agnostic
+        // (ids may be any orderable type) and overflow-free, unlike a
+        // label-sum invariant over near-2⁶³ ids
+        val changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
+          .where(col("x.label") =!= col("y.label")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        fixed = changed == 0
+        iter += 1
+      }
+      require(fixed, s"label propagation did not converge in $maxIter rounds")
+      labels
+    } catch { case e: Throwable => labels.unpersist(); throw e
+    } finally edges.unpersist()
   }
 
   /** Survivor selection over [[connectedComponents]]: per duplicate

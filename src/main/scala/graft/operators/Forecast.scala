@@ -104,6 +104,30 @@ object Forecast {
 
   // ------------------------------------------------------- weather half
 
+  /** Epoch seconds → `yyyy-MM-ddTHH:mm:ssZ` by pure date/integer
+    * arithmetic — NO `date_format(timestamp)` / `to_timestamp(pattern)`,
+    * which render through the SESSION time zone and silently corrupt the
+    * round-trip under a non-UTC session with DST (two fall-back instants
+    * share one wall string). DATE arithmetic has no zone; `pmod` keeps it
+    * total for pre-epoch instants. */
+  private def epochToIsoZ(epochS: Column): Column = {
+    val days = floor(epochS / 86400.0).cast("int")
+    val rem = pmod(epochS, lit(86400L))
+    concat(
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")), days).cast("string"),
+      lit("T"), lpad((rem / 3600).cast("long").cast("string"), 2, "0"),
+      lit(":"), lpad((pmod(rem, lit(3600L)) / 60).cast("long").cast("string"), 2, "0"),
+      lit(":"), lpad(pmod(rem, lit(60L)).cast("string"), 2, "0"), lit("Z"))
+  }
+
+  /** Inverse of [[epochToIsoZ]] — same zone-free arithmetic. */
+  private def isoZToEpoch(iso: Column): Column =
+    datediff(to_date(substring(iso, 1, 10)),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400 +
+      substring(iso, 12, 2).cast("long") * 3600 +
+      substring(iso, 15, 2).cast("long") * 60 +
+      substring(iso, 18, 2).cast("long")
+
   /** The yr.no document schema the reference consumes
     * (`forecast.pl:502-534` shows the payload shape;
     * `Get_weather_forecast :557-660` walks `timeseries[*].time` for the
@@ -145,8 +169,7 @@ object Forecast {
     val doc = hourly
       .groupBy(col("loc"))
       .agg(to_json(struct(struct(sort_array(collect_list(struct(
-        date_format(timestamp_seconds(col("hr")),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+        epochToIsoZ(col("hr")).as("time"),
         struct(struct(struct(
           col("air_temperature"),
           col("air_pressure_at_sea_level"),
@@ -160,8 +183,7 @@ object Forecast {
     val rows = parsed
       .select(col("loc"), explode(col("w.properties.timeseries")).as("t"))
       .select(col("loc"),
-        unix_timestamp(to_timestamp(col("t.time"),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("hr"),
+        isoZToEpoch(col("t.time")).as("hr"),
         col("t.data.instant.details.air_temperature").as("temp"),
         col("t.data.instant.details.air_pressure_at_sea_level").as("pres"),
         col("t.data.instant.details.cloud_area_fraction").as("cloud"))
