@@ -1824,7 +1824,8 @@ object SparkEntry {
       val (_, nKept, avg) = SensorBuffer.slidingAverageSql("vals")
       s"""WITH f AS (SELECT user_id, event_id,
                  epoch_us(ts)//1000000 AS t,
-                 list_sort(list(value) OVER w) AS vals,
+                 list_sort(list_filter(list(value) OVER w,
+                                       v -> v IS NOT NULL)) AS vals,
                  min(epoch_us(ts)//1000000) OVER w AS t0
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

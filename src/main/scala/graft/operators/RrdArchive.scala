@@ -47,7 +47,11 @@ object RrdArchive {
     */
   def consolidate(df: DataFrame, ts: Column, value: Column,
                   stepSec: Long = 3600, width: Int = 785,
-                  rras: Seq[Rra] = referenceRras(), xff: Double = 0.5): DataFrame = {
+                  rras: Seq[Rra] = Nil, xff: Double = 0.5): DataFrame = {
+    // default grid is derived from THIS call's step/width — a literal
+    // `referenceRras()` default would pin 3600/785 and silently mix grids
+    // when the caller overrides either knob
+    val grid = if (rras.nonEmpty) rras else referenceRras(stepSec, width)
     // Stage 1 — primary data points (hourly step): the one big shuffle.
     // roundStable so both engines consolidate identical PDP doubles.
     val pdp = df
@@ -58,7 +62,7 @@ object RrdArchive {
     // Stage 2 — per archive: retention filter + consolidation aggregate.
     // Each branch's stage-1 subtree is identical → ReuseExchange runs the
     // fact aggregate once (verify: one Exchange reused in the plan).
-    rras.map { r =>
+    grid.map { r =>
       val keep = (floor(col("max_ts") / r.rowSec) - (width - 1)) * r.rowSec
       pdp.crossJoin(broadcast(maxTs))
         .where(col("pdp_ts") >= keep)

@@ -59,6 +59,12 @@ object SensorBuffer {
     * the q40 epsilon: source values sit on a coarse grid, interpolated
     * bounds on a finer one, so a value can land EXACTLY on a bound where
     * 1-ulp engine noise would flip membership.
+    *
+    * NULL contract: NULL `value`s are EXCLUDED from the buffer
+    * (`collect_list` drops them), so `n_buf` counts non-null polls only —
+    * the reference's plugins never buffer a failed poll either
+    * (`MyThreading.py:135-180` appends measured values only). The SQL
+    * twin must match: see [[slidingAverageSql]].
     */
   def slidingAverage(df: DataFrame, key: Seq[Column], order: Seq[Column],
                      tsEpochS: Column, value: Column,
@@ -85,8 +91,13 @@ object SensorBuffer {
   }
 
   /** The DuckDB rendering of the same computation, for oracle authors:
-    * frame list → sort → quartiles → filter → 3-decimal mean. `valsExpr`
-    * must be the frame's value list (e.g. `list(value) OVER w`). */
+    * frame list → sort → quartiles → filter → 3-decimal mean. `valsSorted`
+    * must be the frame's value list with NULLs removed BEFORE sorting —
+    * the canonical recipe is
+    * `list_sort(list_filter(list(value) OVER w, v -> v IS NOT NULL))` —
+    * because the engine side's `collect_list` drops NULLs while DuckDB's
+    * `list()` keeps them; an unfiltered list shifts quartiles, `n_buf`
+    * and the mean whenever a NULL poll is in frame. */
   def slidingAverageSql(valsSorted: String): (String, String, String) = {
     val q1 = pctlSql(valsSorted, 0.25)
     val q3 = pctlSql(valsSorted, 0.75)

@@ -47,10 +47,13 @@ object HtmlTableSource {
       val e = m.group(1)
       val out =
         if (e.startsWith("#x") || e.startsWith("#X"))
-          scala.util.Try(Integer.parseInt(e.drop(2), 16).toChar.toString)
+          // Character.toChars: astral codepoints (> U+FFFF) need a surrogate
+          // pair — Int.toChar would silently truncate &#128512; to a BMP char
+          scala.util.Try(new String(Character.toChars(Integer.parseInt(e.drop(2), 16))))
             .getOrElse(m.matched)
         else if (e.startsWith("#"))
-          scala.util.Try(e.drop(1).toInt.toChar.toString).getOrElse(m.matched)
+          scala.util.Try(new String(Character.toChars(e.drop(1).toInt)))
+            .getOrElse(m.matched)
         else named.getOrElse(e, m.matched)
       java.util.regex.Matcher.quoteReplacement(out)
     })

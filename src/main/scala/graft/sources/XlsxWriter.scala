@@ -67,7 +67,14 @@ object XlsxWriter {
     case null => ""
     case _ => dt match {
       case _: NumericType =>
-        s"""<c r="$ref"><v>$v</v></c>"""
+        val finite = v match {
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite
+          case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+          case _                   => true
+        }
+        // NaN/Infinity are not valid OOXML <v> numbers — Excel rejects the
+        // workbook; render them as a blank cell like SQL NULL
+        if (finite) s"""<c r="$ref"><v>$v</v></c>""" else ""
       case BooleanType =>
         s"""<c r="$ref" t="b"><v>${if (v == true) 1 else 0}</v></c>"""
       case TimestampType | TimestampNTZType =>
@@ -125,27 +132,63 @@ object XlsxWriter {
       """<xf numFmtId="22" applyNumberFormat="1"/></cellXfs>""" +
       """</styleSheet>"""
 
+  /** Excel forbids `[ ] : * ? / \` in sheet names, blank names, and names
+    * over 31 chars; truncation can collide, so [[uniqueSheetNames]] dedupes. */
+  private def sanitizeSheetName(raw: String): String = {
+    val cleaned = raw.map(c => if ("[]:*?/\\".indexOf(c.toInt) >= 0) '_' else c).trim
+    (if (cleaned.isEmpty) "Sheet" else cleaned).take(31)
+  }
+
+  /** Dedupe post-truncation collisions with a ` (n)` suffix, keeping the
+    * result within the 31-char bound. */
+  private def uniqueSheetNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    names.map { n =>
+      var candidate = n
+      var k = 2
+      while (seen.contains(candidate)) {
+        val suffix = s" ($k)"
+        candidate = n.take(31 - suffix.length) + suffix
+        k += 1
+      }
+      seen += candidate
+      candidate
+    }
+  }
+
   /** Write `df` as a workbook at `file`. With `sheetBy` set, rows are
     * grouped into one worksheet per distinct value of that column (the
     * reference's region sheets), sheet-named by the value, sorted; the
     * column itself stays in the sheet (Things2XLSX repeats the region in
     * its municipality column). Rows within a sheet keep `df`'s order —
     * apply `orderBy` upstream.
+    *
+    * Groups larger than the format's row limit spill to continuation
+    * sheets (`name`, `name (2)`, …) rather than failing — the artifact
+    * stays valid OOXML at any input size, though fact-scale exports still
+    * belong to the CSV/parquet sinks.
     */
-  def write(df: DataFrame, file: String, sheetBy: Option[String] = None): Unit = {
+  def write(df: DataFrame, file: String, sheetBy: Option[String] = None): Unit =
+    write(df, file, sheetBy, SheetRowLimit)
+
+  /** Test seam: the spill logic with an injectable row limit — spilling at
+    * the real 1,048,576 bound would need a million-row fixture. */
+  private[sources] def write(df: DataFrame, file: String,
+                             sheetBy: Option[String], rowLimit: Int): Unit = {
     val schema = df.schema
     val rows = df.collect() // bounded: report artifact, format-capped below
-    val sheets: Seq[(String, Seq[Row])] = sheetBy match {
+    val grouped: Seq[(String, Seq[Row])] = sheetBy match {
       case Some(c) =>
         val i = schema.fieldIndex(c)
         rows.toSeq.groupBy(r => String.valueOf(r.get(i))).toSeq.sortBy(_._1)
       case None => Seq("Sheet1" -> rows.toSeq)
     }
-    sheets.foreach { case (name, rs) =>
-      require(rs.length < SheetRowLimit,
-        s"sheet '$name' has ${rs.length} rows — over the XLSX format limit; " +
-          "use the CSV/parquet sinks for fact-scale data")
+    // header occupies row 1, so data rows per sheet cap at limit - 1
+    val spilled: Seq[(String, Seq[Row])] = grouped.flatMap { case (name, rs) =>
+      rs.grouped(rowLimit - 1).map(chunk => sanitizeSheetName(name) -> chunk).toSeq
     }
+    val sheets: Seq[(String, Seq[Row])] =
+      uniqueSheetNames(spilled.map(_._1)).zip(spilled.map(_._2))
 
     val zout = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
     def part(name: String, content: String): Unit = {
@@ -176,7 +219,7 @@ object XlsxWriter {
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
           """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
           sheets.zipWithIndex.map { case ((name, _), i) =>
-            s"""<sheet name="${esc(name.take(31))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+            s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
           }.mkString +
           """</sheets></workbook>""")
       part("xl/_rels/workbook.xml.rels",

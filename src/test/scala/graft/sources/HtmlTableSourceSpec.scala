@@ -75,6 +75,16 @@ class HtmlTableSourceSpec extends AnyFunSuite {
     assert(names == Seq("Horst & Maas", "Huis <3>"))
   }
 
+  test("astral numeric character references decode via surrogate pairs") {
+    // U+1F600 in decimal and hex — Int.toChar would truncate to a wrong
+    // BMP char; Character.toChars must yield the real astral codepoint
+    assert(HtmlTableSource.decodeEntities("&#128512;") == "😀")
+    assert(HtmlTableSource.decodeEntities("&#x1F600;") == "😀")
+    // out-of-range reference stays literal instead of throwing
+    assert(HtmlTableSource.decodeEntities("&#1114112;") == "&#1114112;")
+    assert(HtmlTableSource.decodeEntities("a&#72;&#x1F4A9;b") == "aH💩b")
+  }
+
   test("numericText property: every Some parses as a finite Double") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genCell = Gen.oneOf(

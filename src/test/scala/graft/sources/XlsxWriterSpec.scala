@@ -74,6 +74,74 @@ class XlsxWriterSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) == 2.5 && rows(0).getString(2) == "a")
   }
 
+  test("non-finite doubles render as blank cells, not invalid <v>NaN</v>") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "nonfinite.xlsx").getAbsolutePath
+    val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity)).toDF("id", "v")
+    XlsxWriter.write(df, file)
+    val zf = new ZipFile(file)
+    try {
+      val s1 = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(!s1.contains("NaN") && !s1.contains("Infinity"))
+    } finally zf.close()
+    // the independent reader sees them as nulls, like SQL NULL
+    val rows = XlsxSource.read(spark, file).orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 1.5)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1) && rows(3).isNullAt(1))
+  }
+
+  test("sheet names are sanitized for Excel-invalid chars and deduped on truncation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "names.xlsx").getAbsolutePath
+    // two regions that collide after 31-char truncation, one with every
+    // Excel-forbidden character
+    val longA = "Gemeente Horst aan de Maas regio Noord"
+    val longB = "Gemeente Horst aan de Maas regio Zuid"
+    val df = Seq((longA, 1L), (longB, 2L), ("bad[]:*?/\\name", 3L))
+      .toDF("region", "v")
+    XlsxWriter.write(df, file, sheetBy = Some("region"))
+    val zf = new ZipFile(file)
+    try {
+      val wb = new String(zf.getInputStream(
+        zf.getEntry("xl/workbook.xml")).readAllBytes(), "UTF-8")
+      val names = """name="([^"]*)"""".r.findAllMatchIn(wb).map(_.group(1)).toSeq
+      assert(names.length == 3)
+      assert(names.distinct.length == 3, s"duplicate sheet names: $names")
+      assert(names.forall(_.length <= 31))
+      assert(names.forall(n => !"[]:*?/\\".exists(n.contains(_))))
+      assert(names.contains("bad_______name")) // 7 forbidden chars → 7 _
+    } finally zf.close()
+  }
+
+  test("groups over the row limit spill to continuation sheets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toFile
+    val file = new java.io.File(dir, "spill.xlsx").getAbsolutePath
+    // 7 data rows, limit 4 → 3 data rows per sheet (header takes row 1)
+    // → sheets of 3, 3, 1
+    val df = (1L to 7L).map(i => ("R", i)).toDF("region", "v")
+    XlsxWriter.write(df, file, Some("region"), rowLimit = 4)
+    val zf = new ZipFile(file)
+    try {
+      val wb = new String(zf.getInputStream(
+        zf.getEntry("xl/workbook.xml")).readAllBytes(), "UTF-8")
+      val names = """name="([^"]*)"""".r.findAllMatchIn(wb).map(_.group(1)).toSeq
+      assert(names == Seq("R", "R (2)", "R (3)"))
+      val counts = (1 to 3).map { i =>
+        val s = new String(zf.getInputStream(
+          zf.getEntry(s"xl/worksheets/sheet$i.xml")).readAllBytes(), "UTF-8")
+        "<row ".r.findAllMatchIn(s).length - 1 // minus header row
+      }
+      assert(counts == Seq(3, 3, 1))
+    } finally zf.close()
+    // first sheet still reads back cleanly
+    assert(XlsxSource.read(spark, file).count() == 3)
+  }
+
   test("sheetBy groups rows into per-region worksheets (Things2XLSX shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xlsxw").toFile
