@@ -890,7 +890,81 @@ object SparkEntry {
       CorpusFilter.sampleStratified(Tables.documents(s, d),
           col("doc_id"), col("lang"),
           Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25), 0.1)
-        .select(col("doc_id"), col("lang"), col("source")))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Q76 — TTN envelope import end-to-end (D1/D4/D5,
+    // MyMQTTclient.py:312-418 + MyDatacollector.py:1466-1553): events
+    // rows are rendered as REAL V2/V3 envelope JSON (alternating by
+    // event_id, exercising both from_json branches), parsed back through
+    // TtnEnvelope.parse, timestamps resolved ISO→epoch, payload
+    // base64-round-tripped, and the best gateway argmax'd over a
+    // per-event synthetic gateway list. The oracle states the closed
+    // form of every output directly from events.
+    "q76_ttn_envelope" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val devId = concat(lit("kit"), col("user_id"))
+      val port = (col("event_id") % 3 + 2).cast("int")
+      val counter = col("event_id") % 1000
+      val iso = date_format(date_trunc("second", col("ts")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val payloadB64 = base64(devId.cast("binary"))
+      // gateway i: integral-double snr/rssi derived from event_id; score
+      // gaps are ≥ 60 − 13.8 so the argmax is tie-free by construction
+      def gw(i: Int) = struct(
+        lit(s"gw$i").as("gtw_id"),
+        (-(lit(50) + (col("event_id") + lit(13 * i)) % 70)).cast("double").as("rssi"),
+        ((col("event_id") + lit(7 * i)) % 20 - 10).cast("double").as("snr"))
+      val nGw = (col("event_id") % 3 + 1).cast("int")
+      val gws = slice(array(gw(0), gw(1), gw(2)), lit(1), nGw)
+      val v2 = to_json(struct(
+        lit("app1").as("app_id"), devId.as("dev_id"), port.as("port"),
+        counter.as("counter"), payloadB64.as("payload_raw"),
+        struct(iso.as("time"), gws.as("gateways")).as("metadata")))
+      val v3 = to_json(struct(
+        struct(devId.as("device_id"),
+          struct(lit("app1").as("application_id")).as("application_ids"))
+          .as("end_device_ids"),
+        iso.as("received_at"),
+        struct(port.as("f_port"), counter.as("f_cnt"),
+          payloadB64.as("frm_payload"),
+          transform(gws, g => struct(
+            struct(g.getField("gtw_id").as("gateway_id")).as("gateway_ids"),
+            g.getField("rssi").as("rssi"), g.getField("snr").as("snr")))
+            .as("rx_metadata")).as("uplink_message")))
+      val lines = e.select(concat(
+        lit("devices/"), col("event_id"), lit(" "),
+        when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))
+      graft.ingest.TtnEnvelope.parse(lines, col("line"))
+        .select(col("topic"), col("app_id"), col("dev_id"),
+          col("port"), col("counter"),
+          col("payload").cast("string").as("payload_str"),
+          unix_timestamp(to_timestamp(col("event_time"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("resolved_ts"),
+          size(col("gateways")).as("n_gateways"),
+          col("best_gateway"), col("best_score"))
+    }),
+
+    // Q77 — modified z-score (median/MAD) outliers (A6,
+    // grubbs.py:745-756): |x−med| / median(|x−med|) ≥ 3.5 per device.
+    // Both engines interpolate medians with the same lo+(hi−lo)·frac
+    // formula, so the filtered row set hashes identically.
+    "q77_mad_outliers" -> ((s, d) =>
+      Outliers.madOutliers(Tables.events(s, d), col("user_id"),
+          col("value"), 3.5)
+        .select(col("user_id"), col("event_id"), col("value"))),
+
+    // Q78 — geohash prefix-length distance (F6, MyGPS.py:58-79): the
+    // Column-side common-prefix scan + meters lookup over string pairs
+    // with a KNOWN prefix length k = s_suppkey % 13 (clamp branch
+    // included at k ≥ 10); the oracle states the lookup closed-form.
+    "q78_prefix_distance" -> ((s, d) => {
+      val k = (col("s_suppkey") % 13).cast("int")
+      val a = lit("u" * 12)
+      val b = concat(a.substr(lit(1), k), lit("7" * 12).substr(lit(1), lit(12) - k))
+      Tables.supplier(s, d).select(col("s_suppkey"),
+        graft.functions.GeoFunctions.geohashCommonPrefixLen(a, b).as("prefix_len"),
+        graft.functions.GeoFunctions.geohashPrefixDistanceMCol(a, b).as("approx_m"))
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -1891,6 +1965,57 @@ object SparkEntry {
     "q75_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${CorpusFilter.sampleStratifiedSql("doc_id", "lang",
-            Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25), 0.1)}"""
+            Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25), 0.1)}""",
+
+    // Closed form of the envelope round trip: every output field is a
+    // direct function of the events row the engine rendered into JSON.
+    // Gateway scores reproduce GTWstrength = 10·snr + 0.2·rssi on the
+    // same integral-double inputs, so the argmax and round(…, 2) agree
+    // bit-for-bit across engines.
+    "q76_ttn_envelope" ->
+      """WITH g AS (
+           SELECT event_id, user_id, 1 + event_id % 3 AS n,
+                  10.0 * ((event_id +  0) % 20 - 10) + 0.2 * (-(50 + (event_id +  0) % 70)) AS s0,
+                  10.0 * ((event_id +  7) % 20 - 10) + 0.2 * (-(50 + (event_id + 13) % 70)) AS s1,
+                  10.0 * ((event_id + 14) % 20 - 10) + 0.2 * (-(50 + (event_id + 26) % 70)) AS s2,
+                  epoch_us(ts)//1000000 AS rts
+           FROM events)
+         SELECT concat('devices/', CAST(event_id AS VARCHAR)) AS topic,
+                'app1' AS app_id,
+                concat('kit', CAST(user_id AS VARCHAR)) AS dev_id,
+                CAST(2 + event_id % 3 AS INT) AS port,
+                CAST(event_id % 1000 AS BIGINT) AS counter,
+                concat('kit', CAST(user_id AS VARCHAR)) AS payload_str,
+                CAST(rts AS BIGINT) AS resolved_ts,
+                CAST(n AS INT) AS n_gateways,
+                CASE WHEN n = 1 THEN 'gw0'
+                     WHEN n = 2 THEN (CASE WHEN s0 > s1 THEN 'gw0' ELSE 'gw1' END)
+                     ELSE (CASE WHEN s0 > s1 AND s0 > s2 THEN 'gw0'
+                                WHEN s1 > s2 THEN 'gw1' ELSE 'gw2' END) END
+                  AS best_gateway,
+                round(CASE WHEN n = 1 THEN s0
+                           WHEN n = 2 THEN greatest(s0, s1)
+                           ELSE greatest(s0, s1, s2) END, 2) AS best_score
+         FROM g""",
+
+    // median/quantile_cont interpolate with the same lo+(hi−lo)·frac
+    // formula as Spark's percentile, so both engines derive identical
+    // med/MAD doubles from the same parquet values.
+    "q77_mad_outliers" ->
+      """WITH med AS (SELECT user_id AS k, median(value) AS med
+                      FROM events GROUP BY 1),
+          dev AS (SELECT user_id, event_id, value, abs(value - med) AS adev
+                  FROM events JOIN med ON user_id = k),
+          mad AS (SELECT user_id AS k2, median(adev) AS mad
+                  FROM dev GROUP BY 1)
+          SELECT user_id, event_id, value FROM dev JOIN mad ON user_id = k2
+          WHERE adev / mad >= 3.5""",
+
+    "q78_prefix_distance" ->
+      s"""SELECT s_suppkey,
+                 CAST(s_suppkey % 13 AS INT) AS prefix_len,
+                 ${GeoFunctions.prefixDistanceSqlCase(
+                   "least(s_suppkey % 13, 10)")} AS approx_m
+          FROM supplier"""
   )
 }

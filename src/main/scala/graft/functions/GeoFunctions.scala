@@ -105,6 +105,31 @@ object GeoFunctions {
     PrefixDistM(math.min(n, PrefixDistM.length - 1))
   }
 
+  /** Column form of the common-prefix length: geohash precision is
+    * bounded (≤ 12 chars), so the scan renders as a 12-step CASE cascade
+    * that stays inside whole-stage codegen — no UDF. The outermost branch
+    * tests the longest prefix, falling through to shorter ones. */
+  def geohashCommonPrefixLen(a: Column, b: Column): Column =
+    (1 to 12).foldLeft(lit(0)) { (acc, p) =>
+      when(substring(a, 1, p) === substring(b, 1, p), lit(p)).otherwise(acc)
+    }
+
+  /** Column form of [[geohashPrefixDistanceM]] (F6): prefix length →
+    * meters via the `MyGPS.py:58-79` lookup, lengths past the table end
+    * clamping to the finest entry. */
+  def geohashPrefixDistanceMCol(a: Column, b: Column): Column =
+    element_at(array(PrefixDistM.map(lit): _*),
+      least(geohashCommonPrefixLen(a, b), lit(PrefixDistM.length - 1)) + 1)
+
+  /** DuckDB rendering of the same lookup for oracle authors: `nExpr` is
+    * the (engine-equal) prefix-length expression; lengths ≥ the table's
+    * last index fall to the ELSE branch, mirroring the clamp. */
+  def prefixDistanceSqlCase(nExpr: String): String =
+    PrefixDistM.zipWithIndex.map { case (d, i) =>
+      if (i == PrefixDistM.length - 1) s"ELSE $d"
+      else s"WHEN ($nExpr) = $i THEN $d"
+    }.mkString("CASE ", " ", " END")
+
   // Column-side geohash goes through the native codegen'd Expressions in
   // graft.plans.GeohashExpressions (geohash_encode / geohash_decode_lat /
   // geohash_decode_lon via call_function) — no UDF wrappers here, so the

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The reference decodes opaque LoRa byte payloads into typed fields
   * (MyDatacollector/lib/MyLoRaCode.py:434-530); the training-data analogue
-  * is image/audio/video blobs with decode UDFs. The decode libraries are
-  * not in this container, so [[decodeStub]] is a clearly-marked
-  * deterministic fake — but the Spark-side plumbing (schema, typed
-  * Dataset, mapPartitions batch shape, partition sizing) is real and
-  * tested.
+  * is image/audio/video blobs with decode UDFs. Every decode stage here is
+  * REAL and JDK-native — PNG via `javax.imageio` ([[decodeImages]]), WAV
+  * PCM via `javax.sound` ([[decodeAudio]]), animated GIF frame sampling
+  * ([[sampleVideoFrames]]) — no stubs; a production deployment would swap
+  * the codec inside the same mapPartitions shape for formats the JDK
+  * lacks (JPEG2000, MP4, …).
   *
   * Scale notes (100 TB): blobs ride in the row (parquet binary); decode is
   * a mapPartitions pass so per-batch library init (a real codec would be
@@ -38,28 +39,6 @@ object Multimodal {
     docs.select(id.as("media_id"),
       concat(lit("application/x-"), source).as("mime"),
       text.cast("binary").as("content"))
-
-  /** Typed decode stage. STUB: the real body would call an image/audio
-    * codec per record (`???` in production form); this deterministic fake
-    * derives plausible fields from the bytes so the pipeline shape —
-    * typed Dataset in, typed Dataset out, per-partition batching — is
-    * exercised end-to-end.
-    */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // Real decoder: init codec ONCE per partition here (expensive).
-      it.map { m =>
-        val n = m.content.length
-        // ??? <- real image decode would replace everything below.
-        val w = 16 + (n % 64)
-        val h = 16 + ((n / 64) % 64)
-        val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xff))
-        DecodedMedia(m.media_id, w, h, 1 + n / 256,
-          if (n == 0) 0.0 else sum.toDouble / n)
-      }
-    }
-  }
 
   /** Deterministic synthetic image corpus: one REAL PNG per id. Dimensions
     * and the gray value of each pixel are closed-form functions of the id

@@ -267,19 +267,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq("pm25", "temp", "rv", "pm25", "weird_field"))
   }
 
-  test("multimodal decode stub: typed mapPartitions round-trip") {
+  test("multimodal decode: undecodable blobs yield error rows, not failures") {
     import graft.operators.Multimodal
+    // typed mapPartitions shape with the REAL decoder: one valid PNG, one
+    // garbage blob, one recognized-but-truncated PNG — the job survives
+    // and marks the bad rows with negative dims (tolerate-and-log)
+    val png = Multimodal.syntheticPng(5L)
     val media = Seq(
-      Multimodal.MediaRecord(1L, "image/png", Array[Byte](1, 2, 3, 4)),
-      Multimodal.MediaRecord(2L, "image/png", Array.fill[Byte](300)(7))
+      Multimodal.MediaRecord(1L, "image/png", png),
+      Multimodal.MediaRecord(2L, "image/png", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRecord(3L, "image/png", png.take(24))
     ).toDS()
-    val dec = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
-    assert(dec.length == 2)
-    assert(dec(0).brightness == 2.5) // (1+2+3+4)/4
-    assert(dec(1).n_frames == 2)     // 300 bytes / 256 + 1
-    // determinism
-    val again = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
-    assert(dec.toSeq == again.toSeq)
+    val dec = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(dec.length == 3)
+    assert(dec(0).width == 8 + 5 && dec(0).height == 8 + (5 * 7) % 9)
+    assert(dec(1).width == -1 && dec(2).width == -1)
+    // determinism (toString: NaN == NaN must not fail the compare)
+    val again = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(dec.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("multimodal REAL decode: javax.imageio round-trips generated PNGs") {
