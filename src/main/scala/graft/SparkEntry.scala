@@ -964,7 +964,16 @@ object SparkEntry {
       Tables.supplier(s, d).select(col("s_suppkey"),
         graft.functions.GeoFunctions.geohashCommonPrefixLen(a, b).as("prefix_len"),
         graft.functions.GeoFunctions.geohashPrefixDistanceMCol(a, b).as("approx_m"))
-    })
+    }),
+
+    // Q79 — the per-kit streaming state machine (P4 statics / A13
+    // throttle / J8 geofence, MyDatacollector.py:813-968,1041-1204) run
+    // as a REAL two-micro-batch file replay: state crosses the batch
+    // boundary, every telegram gets an accept/reject verdict. The oracle
+    // replays the identical transition function as a DuckDB recursive
+    // CTE in per-kit lockstep — all three state branches hash-checked.
+    "q79_kit_state" -> ((s, d) =>
+      graft.streaming.Replay.replayKitState(s, d))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2016,6 +2025,60 @@ object SparkEntry {
                  CAST(s_suppkey % 13 AS INT) AS prefix_len,
                  ${GeoFunctions.prefixDistanceSqlCase(
                    "least(s_suppkey % 13, 10)")} AS approx_m
-          FROM supplier"""
+          FROM supplier""",
+
+    // The KitState transition function as a recursive CTE: all kits
+    // advance in lockstep, one telegram per iteration, carrying
+    // (interval estimate, throttle anchor, static run, home cell,
+    // moved latch). Constants mirror replayKitState's defaults:
+    // rate 3600, cap 1800, reset 14400 s, static threshold 3, prefix 6.
+    // est1 (the capped running-mean interval) is inlined everywhere it
+    // appears — the engine computes it once, but the arithmetic is
+    // identical so the doubles agree bit-for-bit.
+    "q79_kit_state" ->
+      """WITH RECURSIVE ord AS (
+           SELECT *, row_number() OVER (PARTITION BY kit ORDER BY t, v) AS r
+           FROM (SELECT concat('k', CAST(user_id AS VARCHAR)) AS kit,
+                        epoch_us(ts)//1000000 AS t,
+                        CAST(floor(value / 15) AS DOUBLE) AS v,
+                        CASE WHEN event_id % 23 = 0 THEN 'v9gzzz'
+                             ELSE 'u1hu9z' END AS gh
+                 FROM events)),
+         step AS (
+           SELECT kit, r, t, v, gh AS home, FALSE AS moved,
+                  CAST(0.0 AS DOUBLE) AS est, CAST(0 AS BIGINT) AS thr,
+                  CAST(1 AS INT) AS run, TRUE AS accepted, 'ok' AS reason
+           FROM ord WHERE r = 1
+           UNION ALL
+           SELECT s.kit, s.r, s.t, s.v, p.home,
+                  p.moved OR substr(s.gh, 1, 6) <> substr(p.home, 1, 6),
+                  CASE WHEN least((p.est * p.r + (s.t - p.t)) / (p.r + 1), 1800.0) < 3600.0
+                            AND p.thr <> 0 AND s.t - p.thr > 14400
+                       THEN 3600.0
+                       ELSE least((p.est * p.r + (s.t - p.t)) / (p.r + 1), 1800.0) END,
+                  CASE WHEN least((p.est * p.r + (s.t - p.t)) / (p.r + 1), 1800.0) < 3600.0
+                       THEN CASE WHEN p.thr = 0 THEN s.t
+                                 WHEN s.t - p.thr > 14400 THEN 0
+                                 ELSE p.thr END
+                       ELSE 0 END,
+                  CAST(CASE WHEN s.v = p.v THEN p.run + 1 ELSE 1 END AS INT),
+                  (CASE WHEN least((p.est * p.r + (s.t - p.t)) / (p.r + 1), 1800.0) < 3600.0
+                        THEN CASE WHEN p.thr = 0 THEN s.t
+                                  WHEN s.t - p.thr > 14400 THEN 0
+                                  ELSE p.thr END
+                        ELSE 0 END) = 0
+                    AND (CASE WHEN s.v = p.v THEN p.run + 1 ELSE 1 END) < 3,
+                  CASE WHEN (CASE WHEN least((p.est * p.r + (s.t - p.t)) / (p.r + 1), 1800.0) < 3600.0
+                                  THEN CASE WHEN p.thr = 0 THEN s.t
+                                            WHEN s.t - p.thr > 14400 THEN 0
+                                            ELSE p.thr END
+                                  ELSE 0 END) <> 0 THEN 'throttle'
+                       WHEN (CASE WHEN s.v = p.v THEN p.run + 1 ELSE 1 END) >= 3
+                         THEN 'static'
+                       ELSE 'ok' END
+           FROM step p JOIN ord s ON s.kit = p.kit AND s.r = p.r + 1)
+         SELECT kit, t AS ts, v AS value, accepted, reason,
+                est AS interval_est, run AS static_run, moved
+         FROM step"""
   )
 }

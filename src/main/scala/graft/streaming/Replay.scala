@@ -41,6 +41,69 @@ object Replay {
     Files.deleteIfExists(p)
   }
 
+  /** Replays an events-derived telegram corpus through the [[KitState]]
+    * state machine over a REAL micro-batch boundary: the corpus is
+    * time-split into two parquet files with increasing modification
+    * times, so `maxFilesPerTrigger=1` + `AvailableNow` processes the
+    * early half and the late half as separate micro-batches and the
+    * per-kit state (throttle estimate, static run, geofence home) must
+    * survive the batch crossing. Output = every telegram's accept/reject
+    * verdict — the oracle replays the identical state machine as a
+    * DuckDB recursive CTE (q79).
+    *
+    * Corpus derivation (closed-form so the oracle can re-derive it):
+    * kit = "k"+user_id, ts = floor epoch seconds, value quantized to
+    * 15-wide buckets (so static runs actually occur), geohash flips to a
+    * far cell on event_id % 23 == 0 (so the geofence latches). rateS
+    * defaults above the 1800 s interval cap so the throttle branch (and
+    * its 4 h auto-reset) is exercised on the testdata's sparse cadence. */
+  def replayKitState(spark: SparkSession, sfDir: String,
+                     rateS: Long = 3600L, staticThreshold: Int = 3,
+                     geoPrefix: Int = 6): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.events(spark, sfDir).select(
+      concat(lit("k"), col("user_id")).as("kit"),
+      unix_timestamp(col("ts")).as("ts"),
+      floor(col("value") / 15).cast("double").as("value"),
+      when(col("event_id") % 23 === 0, lit("v9gzzz"))
+        .otherwise(lit("u1hu9z")).as("geohash"))
+    Seq("kit_in", "kit_ckpt", "kit_out", "kit_stage")
+      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
+    val inDir = Files.createDirectories(tmpRoot.resolve("kit_in"))
+    val bounds = corpus.agg(min(col("ts")), max(col("ts"))).head()
+    val tMid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    // stage each half as ONE parquet file with a controlled mtime so the
+    // file source's oldest-first ordering replays them in event time
+    Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
+        ("replay-1.parquet", col("ts") > tMid, 2000000L)).foreach {
+      case (name, pred, mtime) =>
+        val stage = tmpRoot.resolve("kit_stage").toString + "/" + name
+        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = inDir.resolve(name)
+        Files.move(part, dest)
+        dest.toFile.setLastModified(mtime)
+    }
+    val outDir = tmpRoot.resolve("kit_out").toString
+    val q = KitState(
+        spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .as[KitState.KitEvent].groupByKey(_.kit),
+        rateS, staticThreshold, geoPrefix)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpRoot.resolve("kit_ckpt").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).select(col("kit"), col("ts"), col("value"),
+      col("accepted"), col("reason"),
+      col("intervalEst").as("interval_est"),
+      col("staticRun").as("static_run"), col("moved"))
+  }
+
   /** Replays the events table through a streaming upsert archive, then
     * returns the archived rows (ts normalized like Tables does). */
   def replayEventsToArchive(spark: SparkSession, sfDir: String): DataFrame = {
