@@ -139,6 +139,59 @@ object ScaleProbe {
           cents, nQ, k), exact, k))
       println(s"""{"probe":"ann","method":"ivf","centroids":$cents,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
     }
+
+    // Trained-vs-stub IVF on CLUSTERED synthetic vectors: 16 true
+    // clusters (centers spread ±2, jitter ±0.1), cluster id =
+    // (vec_id/4) % 16, so the first-K=16 stub centroids land in clusters
+    // 0-3 only while queries span all 16. On clustered data the stub's
+    // failure mode is CELL IMBALANCE (mega-cells → probe fan-out), with
+    // recall staying deceptively high because a whole true cluster
+    // co-locates in whichever stub cell it falls into — max_cell makes
+    // the imbalance visible where recall can't. The uniform-random runs
+    // above are the recall floor case (r5 finding).
+    val dim = 32
+    val clustered = spark.range(0, 8192).toDF("vec_id")
+      .withColumn("c", pmod((col("vec_id") / 4).cast("long"), lit(16L)))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)), j =>
+        (pmod(col("c") * 2654435761L + j.cast("long") * 40503L, lit(1000L)) / 250.0 - 2.0) +
+          (pmod(col("vec_id") * 31L + j.cast("long") * 7L, lit(100L)) / 500.0 - 0.1)))
+      .select(col("vec_id"), col("embedding")).cache()
+    clustered.count()
+    val exactC = operators.Similarity.knnBruteForce(
+      clustered, col("vec_id"), col("embedding"), nQ, k).cache()
+    exactC.count()
+    def cellStats(cells: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val counts = cells.groupBy("cell").count().collect().map(_.getLong(1))
+      (counts.max, counts.length.toLong)
+    }
+    // stub (first-K) baseline
+    {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annIvf(clustered, col("vec_id"), col("embedding"),
+          16, nQ, k), exactC, k))
+      val (mx, nc) = cellStats(operators.Similarity.ivfAssign(
+        clustered, col("vec_id"), col("embedding"), 16))
+      println(s"""{"probe":"ann","method":"ivf_stub_clustered","centroids":16,"nprobe":1,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"max_cell":$mx,"used_cells":$nc,"s":$s}""")
+    }
+    // trained centroids, nprobe sweep
+    val trained = operators.Similarity.kmeansCentroids(
+      clustered, col("vec_id"), col("embedding"), 16, 5)
+    val (mxT, ncT) = cellStats(operators.Similarity.ivfAssignWith(
+      clustered, col("vec_id"), col("embedding"), trained))
+    for (nprobe <- Seq(1, 2, 4)) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annIvfWith(clustered, col("vec_id"),
+          col("embedding"), trained, nprobe, nQ, k), exactC, k))
+      println(s"""{"probe":"ann","method":"ivf_trained_clustered","centroids":16,"iters":5,"nprobe":$nprobe,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"max_cell":$mxT,"used_cells":$ncT,"s":$s}""")
+    }
+    // trained centroids on the uniform-random real embeddings: shows
+    // training is no silver bullet without cluster structure
+    for (nprobe <- Seq(1, 4)) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.annIvfTrained(emb, col("vec_id"),
+          col("embedding"), 16, 5, nprobe, nQ, k), exact, k))
+      println(s"""{"probe":"ann","method":"ivf_trained_uniform","centroids":16,"iters":5,"nprobe":$nprobe,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+    }
   }
 
   /** Near-dup shapes over replicated documents. Each replica's text is

@@ -145,6 +145,156 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Distributed Lloyd's k-means — the IVF training step the first-K
+    * stand-in ([[ivfAssign]], q56) skips. Init = deterministic
+    * farthest-point ([[farthestPointInit]]); each iteration: (1) broadcast the K current
+    * centroids, (2) assign every vector to the nearest (argmin over
+    * `‖c‖² − 2·v·c`, same algebra as [[ivfAssign]]), (3) recompute
+    * element-wise means with one `posexplode` + (cell, dim) hash
+    * aggregate — map-side combined, K·d result rows. Empty cells keep
+    * their previous centroid so K never shrinks.
+    *
+    * Scale stance: per iteration one broadcast join + one aggregate over
+    * N·d exploded rows — linear, no pairwise anything. The K×d centroid
+    * state collected per round is bounded DRIVER state by contract (the
+    * centroid set must broadcast for assignment anyway), not a data
+    * collect. `iters` is small (Lloyd's converges fast on IVF-grade
+    * quantization; FAISS defaults to 10-25).
+    */
+  def kmeansCentroids(emb: DataFrame, id: Column, vec: Column,
+                      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    ensureRegistered(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(id.as("id"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = farthestPointInit(base, k)
+      for (_ <- 1 to iters) {
+        val cdf = cents.map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+          .toDF("c_id", "c_v", "cn2")
+        val means = base.join(broadcast(cdf))
+          .groupBy(col("id"))
+          .agg(min(struct(
+              (col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
+              col("c_id").as("c"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("m.c").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(avg(col("x")).as("mx"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+            s => s.getField("mx")).as("c_v"))
+          .select(col("cell").cast("int"), col("c_v"))
+          .as[(Int, Seq[Double])].collect().toMap
+        cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+      }
+      cents
+    } finally { base.unpersist(); () }
+  }
+
+  /** Deterministic farthest-point init (the greedy max-min k-means++
+    * analogue): start at the lowest-id vector, then repeatedly add the
+    * vector farthest from its nearest chosen centroid (ties → lowest
+    * id). Immune to the first-K degenerate case where the head of the
+    * table sits inside ONE true cluster — first-K init there leaves
+    * Lloyd's in a local optimum that splits that cluster and merges the
+    * rest. K−1 bounded scan-aggregate passes; at TB scale the trainer
+    * runs on a sample (training is offline — the assignment join is the
+    * scale path). `base` must carry (id, v array<double>, n2). */
+  private def farthestPointInit(base: DataFrame,
+                                k: Int): Seq[(Int, Seq[Double])] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val seed = base.orderBy(col("id").asc).limit(1)
+      .select(col("v")).as[Seq[Double]].head()
+    var chosen = Vector(seed)
+    while (chosen.length < k) {
+      val cdf = broadcast(centroidFrame(spark,
+        chosen.zipWithIndex.map { case (cv, i) => (i, cv) }))
+      val next = base.join(cdf)
+        .groupBy(col("id"))
+        .agg(min(col("n2") + col("cn2") - lit(2.0) * dot(col("v"), col("c_v")))
+          .as("d"), first(col("v")).as("v"))
+        .orderBy(col("d").desc, col("id").asc).limit(1)
+        .select(col("v")).as[Seq[Double]].head()
+      chosen = chosen :+ next
+    }
+    chosen.zipWithIndex.map { case (cv, i) => (i, cv) }
+  }
+
+  /** Broadcastable centroid frame `(c_id, c_v, cn2)` from an explicit
+    * centroid list (trained or hand-picked). */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+      .toDF("c_id", "c_v", "cn2")
+  }
+
+  /** [[ivfAssign]] against an EXPLICIT centroid list instead of the
+    * first-K stand-in — the probe's cell-balance audit uses this. */
+  def ivfAssignWith(emb: DataFrame, id: Column, vec: Column,
+                    cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    ensureRegistered(emb)
+    val cdf = broadcast(centroidFrame(emb.sparkSession, cents))
+    emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+      .join(cdf)
+      .groupBy(col("id"))
+      .agg(min(struct(
+          (col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
+          col("c_id").as("c"))).as("m"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("id"), col("v"), col("n2"), col("m.c").as("cell"))
+  }
+
+  /** IVF ANN against an explicit centroid list with multi-cell probing:
+    * the corpus is assigned to its single nearest cell; each query
+    * probes its `nprobe` nearest cells (FAISS's recall knob). The probe
+    * is one equi-join on the cell id — fan-out ~`nprobe/K` of the corpus
+    * per query, no all-pairs path. Output shape = [[knnBruteForce]].
+    */
+  def annIvfWith(emb: DataFrame, id: Column, vec: Column,
+                 cents: Seq[(Int, Seq[Double])], nprobe: Int,
+                 nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
+    val cdf = broadcast(centroidFrame(emb.sparkSession, cents))
+    val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+    val corpus = ivfAssignWith(emb, id, vec, cents)
+    val q = base.where(col("id") < nQueries).join(cdf)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"),
+        (col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
+        col("c_id"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("s").asc, col("c_id").asc)))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_n2"), col("c_id").as("q_cell"))
+    // no distinct needed: the corpus side has ONE cell per id and the
+    // probed cells are distinct per query, so a pair appears at most once
+    val scored = corpus.as("c")
+      .join(broadcast(q),
+        col("q_cell") === col("cell") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        (dot(col("q_v"), col("v")) / sqrt(col("q_n2") * col("n2"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Trained IVF ANN: k-means centroids ([[kmeansCentroids]]) + nprobe
+    * probing. The first-K variant ([[annIvf]]) stays as the oracle query
+    * (q56) because it shares no trained state with DuckDB. */
+  def annIvfTrained(emb: DataFrame, id: Column, vec: Column,
+                    kCentroids: Int, iters: Int, nprobe: Int,
+                    nQueries: Int, k: Int): DataFrame =
+    annIvfWith(emb, id, vec,
+      kmeansCentroids(emb, id, vec, kCentroids, iters), nprobe, nQueries, k)
+
   /** Multi-band LSH ANN: `bands` independent signed-random-projection
     * codes of `planesPerBand` bits each (band b uses corpus vectors
     * [b·P, (b+1)·P) as its planes); a corpus vector is a candidate for a

@@ -114,6 +114,61 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.meanRecallAtK(single, bf, 4))
   }
 
+  test("kmeans: recovers planted cluster centers; empty cells keep previous centroid") {
+    import spark.implicits._
+    // two tight planted clusters far apart; init = first 2 vectors, which
+    // both sit in cluster A — training must move one centroid to cluster B
+    val data = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(10.2f, 0.0f)),
+      (2L, Array(9.8f, 0.1f)), (3L, Array(10.1f, -0.1f)),
+      (4L, Array(-10.0f, 0.0f)), (5L, Array(-10.2f, 0.1f)),
+      (6L, Array(-9.9f, -0.1f)), (7L, Array(-10.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, col("vec_id"),
+      col("embedding"), 2, 10)
+    assert(cents.map(_._1).sorted == Seq(0, 1))
+    val xs = cents.map(_._2.head).sorted
+    assert(xs.head < -9.0 && xs.last > 9.0,
+      s"one centroid per planted cluster, got $cents")
+    // assignment under trained centroids = the planted split
+    val cells = Similarity.ivfAssignWith(data, col("vec_id"),
+        col("embedding"), cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert((0L to 3L).map(cells).toSet.size == 1)
+    assert((4L to 7L).map(cells).toSet.size == 1)
+    assert(cells(0L) != cells(4L))
+  }
+
+  test("trained IVF beats the first-K stub on clustered data with skew-free cells") {
+    import spark.implicits._
+    // 4 planted clusters of 8, separated in ANGLE (1.5 rad apart, tiny
+    // in-cluster jitter) so cosine-top-k and euclidean k-means agree on
+    // the grouping; ids are cluster-blocked, so the first-4 init lands
+    // entirely in cluster 0
+    val data = (for (c <- 0 until 4; i <- 0 until 8) yield {
+      val id = (c * 8 + i).toLong
+      val th = c * 1.5 + i * 0.002
+      val r = 10.0 + i * 0.01
+      (id, Array((r * math.cos(th)).toFloat, (r * math.sin(th)).toFloat))
+    }).toDF("vec_id", "embedding")
+    val exact = Similarity.knnBruteForce(data, col("vec_id"),
+      col("embedding"), 32, 3)
+    val stub = Similarity.annIvf(data, col("vec_id"), col("embedding"),
+      4, 32, 3)
+    val trained = Similarity.annIvfTrained(data, col("vec_id"),
+      col("embedding"), 4, 10, 1, 32, 3)
+    val rStub = Similarity.meanRecallAtK(stub, exact, 3)
+    val rTrained = Similarity.meanRecallAtK(trained, exact, 3)
+    assert(rTrained >= rStub)
+    assert(rTrained == 1.0,
+      s"trained IVF must fully recover planted-cluster neighbours, got $rTrained")
+    // trained cells are balanced: 8 per cell
+    val counts = Similarity.ivfAssignWith(data, col("vec_id"), col("embedding"),
+        Similarity.kmeansCentroids(data, col("vec_id"), col("embedding"), 4, 10))
+      .groupBy("cell").count().as[(Int, Long)].collect().map(_._2)
+    assert(counts.length == 4 && counts.forall(_ == 8L))
+  }
+
   test("recall@k: exact vs itself = 1; missing queries count as 0") {
     import spark.implicits._
     val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
