@@ -48,6 +48,12 @@ object ArchiveSink {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop(PartCol)
 
+  /** Test seam: when ≥ 0, the swap loop throws after PARKING the Nth
+    * touched bucket and before renaming its replacement in — the exact
+    * crash window the `.bak` recovery protocol exists for. Production
+    * value is −1 (never fires). */
+  private[streaming] var testCrashAfterPark: Int = -1
+
   /** Upsert `batch` into the partitioned parquet dir: for duplicate keys
     * the row with the highest `version` wins (ties: incoming batch wins).
     * `numBuckets` applies only when the archive is first created; an
@@ -137,11 +143,14 @@ object ArchiveSink {
     // live, or the old dir parked (recovered by the next upsert, above) —
     // never a destructive delete-before-replace window.
     fs.mkdirs(bak)
-    touched.foreach { p =>
+    touched.zipWithIndex.foreach { case (p, i) =>
       val dst = new Path(cur, s"$PartCol=$p")
       val src = new Path(staging, s"$PartCol=$p")
       if (fs.exists(src)) {
         if (fs.exists(dst)) fs.rename(dst, new Path(bak, s"$PartCol=$p"))
+        if (testCrashAfterPark == i)
+          throw new java.io.IOException(
+            s"injected test crash after parking bucket $p")
         fs.rename(src, dst)
       }
     }

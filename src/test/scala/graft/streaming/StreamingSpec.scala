@@ -118,6 +118,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(!JFiles.exists(Paths.get(dir + ".bak")), "parking dir cleaned up")
   }
 
+  test("archive upsert: injected crash between park and replace, then replay converges") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("graft_test_archive8_").toString + "/t"
+    val b1 = (0 until 200).map(i => (i.toLong, 10L, i * 1.0)).toDF("id", "v", "x")
+    ArchiveSink.upsert(b1, dir, Seq("id"), "v")
+    // the REAL crash: the process dies inside the swap loop, after the
+    // first touched bucket's old dir is parked and before its replacement
+    // is renamed in — the destructive window a delete-before-replace
+    // sink would lose rows in
+    val b2 = Seq((5L, 20L, 99.0), (6L, 20L, 98.0)).toDF("id", "v", "x")
+    ArchiveSink.testCrashAfterPark = 0
+    try intercept[java.io.IOException] {
+      ArchiveSink.upsert(b2, dir, Seq("id"), "v")
+    } finally ArchiveSink.testCrashAfterPark = -1
+    assert(JFiles.exists(Paths.get(dir + ".bak")),
+      "crashed mid-swap: old bucket parked in .bak")
+    // the stream restarts and replays the batch (checkpoint semantics):
+    // recovery must restore the parked bucket before merging
+    ArchiveSink.upsert(b2, dir, Seq("id"), "v")
+    val rows = ArchiveSink.read(spark, dir)
+    assert(rows.count() == 200, "no rows lost across the injected crash")
+    assert(rows.where(col("id") === 5L).head().getAs[Double]("x") == 99.0)
+    assert(rows.where(col("id") === 6L).head().getAs[Double]("x") == 98.0)
+    assert(rows.where(col("id") === 7L).head().getAs[Double]("x") == 7.0,
+      "untouched key in the crashed bucket keeps its pre-crash row")
+    assert(!JFiles.exists(Paths.get(dir + ".bak")), "parking dir cleaned up")
+  }
+
+  test("archive upsert: stale parked copy never clobbers a live bucket") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_test_archive9_").toString + "/t"
+    val b1 = (0 until 50).map(i => (i.toLong, 10L, i * 1.0)).toDF("id", "v", "x")
+    ArchiveSink.upsert(b1, dir, Seq("id"), "v")
+    // crash window #2: old parked AND new renamed in, death before the
+    // parking dir is dropped — .bak holds a STALE copy while live is newer
+    val bucket = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(64)).cast("int")).head.getInt(0)
+    val live = Paths.get(dir, s"${ArchiveSink.PartCol}=$bucket")
+    val bak = Paths.get(dir + ".bak", s"${ArchiveSink.PartCol}=$bucket")
+    JFiles.createDirectories(bak)
+    JFiles.list(live).forEach { f =>
+      JFiles.copy(f, bak.resolve(f.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    ArchiveSink.upsert(Seq((5L, 20L, 77.0)).toDF("id", "v", "x"), dir, Seq("id"), "v")
+    val rows = ArchiveSink.read(spark, dir)
+    assert(rows.count() == 50)
+    assert(rows.where(col("id") === 5L).head().getAs[Double]("x") == 77.0,
+      "live bucket wins over the stale parked copy")
+    assert(!JFiles.exists(Paths.get(dir + ".bak")), "stale parking dir dropped")
+  }
+
   test("archive upsert: bucket count is creation-time only (layout stability)") {
     val dir = Files.createTempDirectory("graft_test_archive4_").toString + "/t"
     val keys = (0 until 50).map(i => (i.toLong, 10L, i * 1.0))
