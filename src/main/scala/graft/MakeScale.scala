@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds a scaled-up replica of a testdata SF directory for the
+  * whole-contract sweep (VERDICT r5 item 1): fact tables replicated
+  * `mult`× with DISJOINT key ranges, dimension tables copied unchanged
+  * (they are the broadcast sides — growing them would distort the join
+  * shapes away from the production star schema).
+  *
+  * `runMain graft.MakeScale <srcDir> <dstDir> <mult>` — writes one
+  * single-file `<table>.parquet` per table so DuckDB's `'.../t.parquet'`
+  * view (tools/check.py, tools/duck_bench.py) reads the SAME bytes the
+  * engine does.
+  *
+  * Replication rules (each chosen so per-query OUTPUT stays linear in
+  * `mult` — replicating verbatim would make every near-dup/self-join
+  * output quadratic and the sweep would measure the answer's size, not
+  * the operators):
+  *  - events: `event_id`/`user_id` offset by data-derived strides
+  *    (ScaleProbe's rule — hardcoded strides would silently collide on
+  *    bigger inputs); replicas behave as new kits with identical series.
+  *  - documents: `doc_id` offset; text token-salted (every space →
+  *    ` r<i> `) so replicas share NO shingles — near-dup pair counts
+  *    scale linearly, one planted set per replica.
+  *  - embeddings: `vec_id` offset; replica i ≠ 0 gets a deterministic
+  *    per-(replica, dim) sign-flip pattern, which decorrelates replicas
+  *    (E[cos] ≈ 0) without touching norms — cosine near-dup output stays
+  *    linear, and replica 0 keeps the original vectors so id-anchored
+  *    queries/planes/centroids see the same data.
+  *  - lineitem/orders: `l_orderkey`/`o_orderkey` offset; all attribute
+  *    and FK columns unchanged (dims are not replicated).
+  */
+object MakeScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dstPath = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(dstPath)
+
+    /** One parquet FILE per table: stage a coalesce(1) dir, move the part
+      * file to `<dst>/<name>.parquet` (DuckDB's plain-path view needs a
+      * file, not a Spark directory). */
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val stage = s"$dst/.stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dstPath.resolve(s"$name.parquet")
+      java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part, dest)
+      // drop the staging dir
+      val s = java.nio.file.Paths.get(stage)
+      java.nio.file.Files.list(s).forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(s)
+      println(s"wrote $dest")
+    }
+
+    def copyDim(name: String): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$name.parquet"),
+        dstPath.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"copied $name.parquet")
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copyDim)
+
+    // ---- events
+    val ev = Tables.events(spark, src)
+    val evB = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+    val (uStride, eStride) = (evB.getLong(0) + 1, evB.getLong(1) + 1)
+    writeOne((0 until mult).map { i =>
+      ev.select((col("event_id") + lit(i * eStride)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * uStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), "events")
+
+    // ---- documents
+    val docs = Tables.documents(spark, src)
+    val dStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docCols = docs.columns.toSeq
+    writeOne((0 until mult).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * dStride))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), " ", s" r$i "))
+        .select(docCols.map(col): _*)
+    }.reduce(_ unionByName _), "documents")
+
+    // ---- embeddings
+    val emb = Tables.embeddings(spark, src)
+    val vStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embCols = emb.columns.toSeq
+    writeOne((0 until mult).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, j) =>
+            when(pmod(xxhash64(j * 41 + lit(i * 977)), lit(2)) === 0, x)
+              .otherwise(-x)))
+        .select(embCols.map(col): _*)
+    }.reduce(_ unionByName _), "embeddings")
+
+    // ---- lineitem / orders
+    val li = Tables.lineitem(spark, src)
+    val lStride = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val liCols = li.columns.toSeq
+    writeOne((0 until mult).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * lStride))
+        .select(liCols.map(col): _*)
+    }.reduce(_ unionByName _), "lineitem")
+
+    val ord = Tables.orders(spark, src)
+    val oStride = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val ordCols = ord.columns.toSeq
+    writeOne((0 until mult).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+        .select(ordCols.map(col): _*)
+    }.reduce(_ unionByName _), "orders")
+
+    spark.stop()
+  }
+}
