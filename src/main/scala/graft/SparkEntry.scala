@@ -973,7 +973,145 @@ object SparkEntry {
     // replays the identical transition function as a DuckDB recursive
     // CTE in per-kit lockstep — all three state branches hash-checked.
     "q79_kit_state" -> ((s, d) =>
-      graft.streaming.Replay.replayKitState(s, d))
+      graft.streaming.Replay.replayKitState(s, d)),
+
+    // Q80 — XLSX writer→reader round trip (K9 report writer + S6 XLSX
+    // source, Things2XLSX.py / MyDB2XLSX): a per-nation customer report
+    // is written as a real OOXML workbook and read back through the
+    // distributed binaryFile reader. Sums go through DECIMAL(18,2) so
+    // both engines add exact decimals — the workbook's number cells then
+    // round-trip bit-for-bit via shortest-repr doubles.
+    "q80_xlsx_roundtrip" -> ((s, d) => {
+      val rpt = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("total_bal"))
+      val f = java.nio.file.Files.createTempDirectory("q80")
+        .resolve("report.xlsx").toString
+      graft.sources.XlsxWriter.write(rpt, f)
+      graft.sources.XlsxSource.read(s, f)
+    }),
+
+    // Q81 — HTML table round trip (S7 scrape): a supplier listing is
+    // rendered as an HTML document (driver-side fixture, dim-bounded)
+    // and scraped back through the distributed parser — header from
+    // <th>, numeric columns typed via the sanitizer. Column choice is
+    // sanitizer-safe by construction: the nation label is digit-free
+    // (digits would be sanitizer-coerced to numbers — that's the
+    // scraper's documented contract), acctbal keeps its leading minus.
+    "q81_html_roundtrip" -> ((s, d) => {
+      val rows = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          translate(col("n_name"), "0123456789", "abcdefghij").as("nation"),
+          col("s_acctbal"))
+        .collect() // dim-bounded (supplier is an unreplicated dim)
+      val sb = new StringBuilder(
+        "<html><body><h1>suppliers</h1><table>" +
+          "<tr><th>s_suppkey</th><th>nation</th><th>s_acctbal</th></tr>")
+      rows.foreach { r =>
+        sb.append(s"<tr><td>${r.getLong(0)}</td><td>${r.getString(1)}" +
+          s"</td><td>${r.getDouble(2)}</td></tr>")
+      }
+      sb.append("</table></body></html>")
+      val f = java.nio.file.Files.createTempDirectory("q81")
+        .resolve("suppliers.html")
+      java.nio.file.Files.writeString(f, sb.toString)
+      graft.sources.HtmlTableSource.read(s, f.toString)
+    }),
+
+    // Q82 — the hourly CSV export round trip (K3 sink + A1 job,
+    // MySQL2CSV.sh:349-412): gap-filled per-kit hourly frame written as
+    // header'd CSV partitioned by kit (the reference's file-per-kit
+    // layout), then read back through Spark's CSV source. Gap rows
+    // round-trip as empty fields → NULLs, like the reference's awk.
+    "q82_csv_roundtrip" -> ((s, d) => {
+      val fromS = 1704067200L // 2024-01-01T00Z
+      val toS = 1704240000L   // 2024-01-03T00Z, 49 hourly buckets
+      val frame = HourlyExport.hourlyFrame(Tables.events(s, d),
+        pmod(col("user_id"), lit(50)), col("ts"), col("value"), fromS, toS)
+      val dir = java.nio.file.Files.createTempDirectory("q82").toString
+      HourlyExport.writeCsv(frame, dir)
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(dir)
+        .select(col("k").cast("long").as("k"),
+          col("bucket_ts").cast("long").as("bucket_ts"),
+          col("avg_value").cast("double").as("avg_value"),
+          col("n").cast("long").as("n"))
+    }),
+
+    // Q83 — InfluxDB line-protocol telegrams behind the channel gate
+    // (K5 formatter, RPi/MyINFLUXPUB.py:120-156 + P9 gate,
+    // MyDatacollector.py output channel patterns): the gate's anchored
+    // regex picks even-serial kits, then each event renders as one
+    // line-protocol string — tag escaping, quoted string field with
+    // embedded quotes (props JSON), epoch-seconds timestamp — all as a
+    // single codegen'd Column chain.
+    "q83_influx_lines" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val project = lit("SAN")
+      val serial = concat(lit("d"), col("user_id"))
+      val gated = e.where(graft.streaming.Forwarding.channelGate(
+        project, serial, Some("SAN_d[0-9]*[02468]$")))
+      val line = graft.streaming.Forwarding.influxLine(
+        gated, lit("data"),
+        Seq("project" -> project, "serial" -> serial,
+          "type" -> col("event_type")),
+        Seq("temp" -> col("value"), "cnt" -> (col("event_id") % 997),
+          "note" -> col("props")),
+        Some(eS(col("ts"))))
+      gated.select(col("event_id"), line.as("line"))
+    }),
+
+    // Q84 — bidirectional sync statement emission (J7 diff →
+    // MyDBsyncWebDB.py:852-1000): the q21 full-outer metadata diff
+    // projected through [[SyncStatements.emit]] — INSERT/DELETE/UPDATE
+    // per divergent row, remote side wins.
+    "q84_sync_statements" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal_a"))
+      val b = c.where(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 5)
+            .otherwise(col("c_acctbal")).as("bal_b"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .where(!(col("bal_a") <=> col("bal_b")))
+        .select(col("c_custkey"),
+          SyncStatements.emit("kits", "custkey", "bal",
+            col("c_custkey"), col("bal_a"), col("bal_b")).as("stmt"))
+    }),
+
+    // Q85 — the paged REST source end-to-end (S5, DataSource V2 with one
+    // InputPartition per page, SamenMetenThings.py:1409-1470): the
+    // deterministic transport stub synthesizes each page from
+    // (datastream, page, index), so the oracle can state every row in
+    // closed form — schema, option parsing, partition planning and row
+    // encoding are all on the hash path.
+    "q85_paged_source" -> ((s, _) =>
+      s.read.format("graft.sources.PagedThingsSource")
+        .option("datastreams", "101,102,103")
+        .option("pages", "3")
+        .option("pageSize", "40")
+        .load()),
+
+    // Q86 — field-name synonym translation (P1,
+    // MyDatacollector.py:332-348): raw NL/EN/punctuation variants
+    // normalized through the literal synonym map; unknown names pass
+    // through lowercased.
+    "q86_field_translate" -> ((s, d) => {
+      val raws = array(Seq("temperature", "Hum", "pm_10", "pres", "RH",
+        "windspeed", "unknown_x", "Temperatuur").map(lit): _*)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          element_at(raws, (col("event_id") % 8 + 1).cast("int")).as("raw"))
+        .select(col("event_id"), col("raw"),
+          graft.ingest.LoRaPipeline.normalizeFieldName(col("raw")).as("norm"))
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2079,6 +2217,113 @@ object SparkEntry {
            FROM step p JOIN ord s ON s.kit = p.kit AND s.r = p.r + 1)
          SELECT kit, t AS ts, v AS value, accepted, reason,
                 est AS interval_est, run AS static_run, moved
-         FROM step"""
+         FROM step""",
+
+    // The workbook round trip must reproduce the report frame exactly:
+    // DECIMAL(18,2) sums are exact on both engines, and the OOXML number
+    // cells round-trip doubles via shortest-repr text.
+    "q80_xlsx_roundtrip" ->
+      """SELECT n_name AS nation, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+
+    "q81_html_roundtrip" ->
+      """SELECT s_suppkey,
+                translate(n_name, '0123456789', 'abcdefghij') AS nation,
+                s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+
+    // Same bucket/rounding contract as q02 (DECIMAL-stable round), plus
+    // the gap spine: every hour in [from, to] per key present in the
+    // window — gap rows carry NULL avg/n (the CSV's empty fields).
+    "q82_csv_roundtrip" ->
+      """WITH f AS (SELECT user_id % 50 AS k,
+                           epoch_us(date_trunc('hour', ts))//1000000 AS bucket_ts,
+                           value
+                    FROM events
+                    WHERE epoch_us(ts)//1000000 BETWEEN 1704067200 AND 1704240000),
+              agg AS (SELECT k, bucket_ts,
+                             CAST(round(CAST(avg(value) AS DECIMAL(18,6)),2) AS DOUBLE) AS avg_value,
+                             count(*) AS n
+                      FROM f GROUP BY 1, 2),
+              spine AS (SELECT DISTINCT k FROM agg),
+              grid AS (SELECT k, unnest(range(1704067200, 1704240001, 3600)) AS bucket_ts
+                       FROM spine)
+         SELECT k, bucket_ts, avg_value, n
+         FROM grid LEFT JOIN agg USING (k, bucket_ts)""",
+
+    // Closed form of the line-protocol telegram: the gate is stated as
+    // its semantics (serial's last digit even ⇔ user_id even), tags are
+    // escape-clean by construction, the quoted note field escapes the
+    // props JSON's quotes, and numeric renderings agree via
+    // shortest-repr casts on both engines.
+    "q83_influx_lines" ->
+      """SELECT event_id,
+                concat('data,project=SAN,serial=d', CAST(user_id AS VARCHAR),
+                       ',type=', event_type,
+                       ' temp=', CAST(value AS VARCHAR),
+                       ',cnt=', CAST(event_id % 997 AS VARCHAR),
+                       ',note="', replace(replace(props, '\', '\\'), '"', '\"'),
+                       '" ', CAST(epoch_us(ts)//1000000 AS VARCHAR)) AS line
+         FROM events
+         WHERE user_id % 2 = 0""",
+
+    "q84_sync_statements" ->
+      """WITH a AS (SELECT c_custkey, c_acctbal AS bal_a FROM customer
+                    WHERE c_custkey % 3 != 0),
+              b AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 5
+                           ELSE c_acctbal END AS bal_b
+                    FROM customer WHERE c_custkey % 5 != 0),
+              diff AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+                              bal_a, bal_b
+                       FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+                       WHERE bal_a IS DISTINCT FROM bal_b)
+         SELECT c_custkey,
+                CASE WHEN bal_a IS NULL THEN
+                       concat('INSERT INTO kits (custkey, bal) VALUES (',
+                              CAST(c_custkey AS VARCHAR), ', ',
+                              CAST(bal_b AS VARCHAR), ');')
+                     WHEN bal_b IS NULL THEN
+                       concat('DELETE FROM kits WHERE custkey = ',
+                              CAST(c_custkey AS VARCHAR), ';')
+                     ELSE
+                       concat('UPDATE kits SET bal = ', CAST(bal_b AS VARCHAR),
+                              ' WHERE custkey = ', CAST(c_custkey AS VARCHAR), ';')
+                END AS stmt
+         FROM diff""",
+
+    // The transport stub's page payload in closed form — every row of
+    // every (datastream, page) cell.
+    "q85_paged_source" ->
+      """SELECT ds AS datastream_id,
+                CAST(1700000000 + (page * 40 + i) * 60 AS BIGINT) AS phenomenon_time,
+                ((ds * 31 + page * 40 + i) % 1000) / 10.0 AS result,
+                CAST(page AS INT) AS page
+         FROM (VALUES (101), (102), (103)) d(ds),
+              (SELECT unnest(range(3)) AS page),
+              (SELECT unnest(range(40)) AS i)""",
+
+    // The synonym map stated as a CASE over the lowered raw name;
+    // unknown names pass through lowercased.
+    "q86_field_translate" ->
+      """WITH r AS (SELECT event_id,
+                      list_value('temperature','Hum','pm_10','pres','RH',
+                                 'windspeed','unknown_x','Temperatuur')
+                        [CAST(event_id % 8 + 1 AS INT)] AS raw
+                    FROM events)
+         SELECT event_id, raw,
+                CASE lower(raw)
+                  WHEN 'temperature' THEN 'temp'
+                  WHEN 'temperatuur' THEN 'temp'
+                  WHEN 'hum' THEN 'rv'
+                  WHEN 'rh' THEN 'rv'
+                  WHEN 'pm_10' THEN 'pm10'
+                  WHEN 'pres' THEN 'luchtdruk'
+                  WHEN 'windspeed' THEN 'ws'
+                  ELSE lower(raw)
+                END AS norm
+         FROM r"""
   )
 }
