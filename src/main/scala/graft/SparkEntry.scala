@@ -1111,6 +1111,23 @@ object SparkEntry {
           element_at(raws, (col("event_id") % 8 + 1).cast("int")).as("raw"))
         .select(col("event_id"), col("raw"),
           graft.ingest.LoRaPipeline.normalizeFieldName(col("raw")).as("norm"))
+    }),
+
+    // Q87 — MQTT republish telegram (K6, RPi/MyMQTTPUB.py:197-206):
+    // topic base/project/serial, payload {"metadata","data"} JSON with
+    // declared-but-missing fields KEPT as null (the reference emits
+    // None for fields the kit declares but this telegram lacks — the
+    // encoder must not drop them).
+    "q87_mqtt_republish" -> ((s, d) => {
+      val rv = when(col("event_id") % 3 =!= 0, col("event_id") % 100)
+      val out = graft.streaming.Forwarding.republish("IoS",
+        lit("SAN"), concat(lit("d"), col("user_id")),
+        struct(lit("SAN").as("project"),
+          concat(lit("d"), col("user_id")).as("serial")),
+        struct(col("value").as("temp"), rv.as("rv")))
+      Tables.events(s, d).select(col("event_id"),
+        out.getField("topic").as("topic"),
+        out.getField("telegram").as("telegram"))
     })
   )
 
@@ -2324,6 +2341,19 @@ object SparkEntry {
                   WHEN 'windspeed' THEN 'ws'
                   ELSE lower(raw)
                 END AS norm
-         FROM r"""
+         FROM r""",
+
+    // The republish telegram in closed form: field order is the struct
+    // order, nulls render as JSON null, doubles via shortest-repr casts.
+    "q87_mqtt_republish" ->
+      """SELECT event_id,
+                concat('IoS/SAN/d', CAST(user_id AS VARCHAR)) AS topic,
+                concat('{"metadata":{"project":"SAN","serial":"d',
+                       CAST(user_id AS VARCHAR), '"},"data":{"temp":',
+                       CAST(value AS VARCHAR), ',"rv":',
+                       CASE WHEN event_id % 3 = 0 THEN 'null'
+                            ELSE CAST(event_id % 100 AS VARCHAR) END,
+                       '}}') AS telegram
+         FROM events"""
   )
 }

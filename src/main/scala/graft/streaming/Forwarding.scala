@@ -214,6 +214,23 @@ object Forwarding {
     when(fieldSet === "", lit(null).cast("string")).otherwise(line)
   }
 
+  // ---------------------------------------------- MQTT republish (K6)
+
+  /** The republish telegram (RPi/MyMQTTPUB.py:197-206): topic
+    * `<base>/<project>/<serial>`, payload
+    * `{"metadata": {...}, "data": {...}}`. The reference walks the kit's
+    * declared field list and emits `None` for fields this telegram
+    * lacks — so the JSON encoder must KEEP null fields
+    * (`ignoreNullFields=false`), not drop them. Pure Column pair; the
+    * broker client itself is the pluggable transport ([[forwardBatch]]).
+    */
+  def republish(base: String, project: Column, serial: Column,
+                metadata: Column, data: Column): Column =
+    struct(
+      concat_ws("/", lit(base), project, serial).as("topic"),
+      to_json(struct(metadata.as("metadata"), data.as("data")),
+        Map("ignoreNullFields" -> "false")).as("telegram"))
+
   /** Literal-side escape for key names known at plan time. */
   private def lpEscapeLiteral(s: String): String =
     s.replace("\\", "\\\\").replace(",", "\\,")

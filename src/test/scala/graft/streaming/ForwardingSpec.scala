@@ -173,4 +173,20 @@ class ForwardingSpec extends AnyFunSuite {
     // (server-assigned time), never a dropped record
     assert(lines(1) == "a=b pm25=2.5")
   }
+
+  test("republish telegram: topic base/project/serial, nulls KEPT (K6)") {
+    val df = Seq(("SAN", "d7", 6.55, Some(42L)), ("SAN", "d8", 1.5, None))
+      .toDF("project", "serial", "temp", "rv")
+    val out = df.select(republish("IoS", col("project"), col("serial"),
+      struct(col("project"), col("serial")),
+      struct(col("temp"), col("rv"))).as("o"))
+      .select(col("o.topic"), col("o.telegram"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == ("IoS/SAN/d7",
+      """{"metadata":{"project":"SAN","serial":"d7"},"data":{"temp":6.55,"rv":42}}"""))
+    // the reference emits None for declared-but-missing fields — the
+    // JSON must carry null, not drop the key (MyMQTTPUB.py:199-203)
+    assert(out(1) == ("IoS/SAN/d8",
+      """{"metadata":{"project":"SAN","serial":"d8"},"data":{"temp":1.5,"rv":null}}"""))
+  }
 }
