@@ -21,9 +21,16 @@ import org.apache.spark.sql.functions._
   *  - events: `event_id`/`user_id` offset by data-derived strides
   *    (ScaleProbe's rule — hardcoded strides would silently collide on
   *    bigger inputs); replicas behave as new kits with identical series.
-  *  - documents: `doc_id` offset; text token-salted (every space →
-  *    ` r<i> `) so replicas share NO shingles — near-dup pair counts
-  *    scale linearly, one planted set per replica.
+  *  - documents: `doc_id` offset; text token-salted by SUFFIXING every
+  *    token (`word` → `word_r<i>`) so replicas share NO shingles —
+  *    near-dup pair counts scale linearly, one planted set per replica.
+  *    The suffix form is a BIJECTIVE shingle map: replica i's shingle
+  *    (a_r<i>, b_r<i>, c_r<i>) exists iff the original had (a, b, c),
+  *    so within-replica overlap statistics are exactly the original
+  *    corpus's. (The first cut inserted ` r<i> ` between words instead;
+  *    that turns trigram shingles into bigram-equivalent overlap and
+  *    inflated LSH band-bucket density 249× at mult=10 — the probe was
+  *    measuring the corpus artifact, not the operator.)
   *  - embeddings: `vec_id` offset; replica i ≠ 0 gets a deterministic
   *    per-(replica, dim) sign-flip pattern, which decorrelates replicas
   *    (E[cos] ≈ 0) without touching norms — cosine near-dup output stays
@@ -97,7 +104,7 @@ object MakeScale {
       docs.withColumn("doc_id", col("doc_id") + lit(i * dStride))
         .withColumn("text",
           if (i == 0) col("text")
-          else regexp_replace(col("text"), " ", s" r$i "))
+          else regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
         .select(docCols.map(col): _*)
     }.reduce(_ unionByName _), "documents")
 

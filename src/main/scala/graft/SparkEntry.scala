@@ -1184,8 +1184,15 @@ object SparkEntry {
         sig AS (SELECT id, $mins FROM h GROUP BY id),
         banded AS (SELECT id, band, $bandCase AS bkey
                    FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
-        cand AS (SELECT DISTINCT x.id AS d1, y.id AS d2 FROM banded x JOIN banded y
-                 ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+        -- bucket cap mirrored from Dedup.DefaultLshBucketCap: oversized
+        -- (degenerate) buckets contribute no candidates on either engine
+        bucket AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+                   HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.DefaultLshBucketCap}),
+        cand AS (SELECT DISTINCT x.id AS d1, y.id AS d2
+                 FROM banded x
+                 JOIN bucket USING (band, bkey)
+                 JOIN banded y ON y.band = x.band AND y.bkey = x.bkey
+                              AND x.id < y.id),
         sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
         inter AS (SELECT c.d1, c.d2, count(*) AS n_inter FROM cand c
                   JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.s = a.s

@@ -161,23 +161,42 @@ object Dedup {
         (1 until k).map(j => min(minhashPerm(col("h"), j)).as(s"m$j")): _*)
   }
 
+  /** Bucket-size guard for [[minhashLshPairs]]: a band bucket larger
+    * than this is a degenerate cluster (boilerplate/empty/templated
+    * docs — every web-scale corpus has them), and its self-join would
+    * cost bucket² pairs while telling us nothing exact dedup (U1/q25)
+    * doesn't already say about near-identical content. Same principle
+    * as the n-gram posting-list df cap. Organic bucket sizes at bench
+    * SFs are ≤ ~20, so the default changes nothing there; what it
+    * bounds is the 100-TB failure mode (measured: a corpus artifact
+    * that inflated max bucket 17 → 1543 turned the bucket join 249×
+    * more expensive — see docs/SCALING.md r6). */
+  val DefaultLshBucketCap = 256
+
   /** LSH-banded near-dup pairs: band the k signatures into `bands`
-    * groups of k/bands rows, bucket-join on (band, concatenated band
-    * signature), then verify candidates with the exact n-gram Jaccard.
-    * Candidate generation is O(collisions), not O(n²). */
+    * groups of k/bands rows, bucket the docs on (band, concatenated
+    * band signature), emit each bucket's pairs, then verify candidates
+    * with the exact n-gram Jaccard. Candidate generation is
+    * O(Σ min(|bucket|, cap)²), not O(n²): buckets beyond `bucketCap`
+    * are dropped ([[DefaultLshBucketCap]]), the same posting-list
+    * shape as the n-gram candidate path. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-                      n: Int, k: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      n: Int, k: Int, bands: Int, threshold: Double,
+                      bucketCap: Int = DefaultLshBucketCap): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, id, text, n, k)
     val banded = sig.select(col("id"), posexplode(array(
       (0 until bands).map(b => concat_ws(",",
         (0 until rows).map(r => col(s"m${b * rows + r}")): _*)): _*))
       .as(Seq("band", "bkey")))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2")).distinct()
+    val posting = banded.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+    val cand = posting.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1"), col("p.d2")).distinct()
     // Exact verify on the candidate set only.
     verifyJaccard(cand, shingleSets(df, id, text, n), threshold)
   }

@@ -85,6 +85,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 3L)))
   }
 
+  test("LSH bucket cap drops degenerate mega-buckets, keeps organic pairs") {
+    import spark.implicits._
+    // 30 identical boilerplate docs (a degenerate cluster: every band
+    // bucket holds all 30) + one organic near-dup pair
+    val boiler = (200L until 230L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairDocs = Seq(
+      (500L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (501L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val corpus = (boiler ++ pairDocs).toDF("doc_id", "text")
+    def keys(cap: Int) =
+      Dedup.minhashLshPairs(corpus, col("doc_id"), col("text"), 3, 16, 4,
+          0.5, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = keys(10)
+    // the mega-cluster contributes nothing past the cap; exact dedup
+    // (q25) owns near-identical content — the organic pair survives
+    assert(capped == Set((500L, 501L)))
+    // a cap above every bucket reproduces the full pair set
+    assert(keys(Dedup.DefaultLshBucketCap) ==
+      (200L until 230L).flatMap(a => (a + 1 until 230L).map(a -> _)).toSet
+        + ((500L, 501L)))
+  }
+
   test("simhash is deterministic and identical docs get identical hashes") {
     val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
