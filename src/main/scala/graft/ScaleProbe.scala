@@ -29,6 +29,14 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long probe sessions run many heavyweight shuffles back to back;
+      // shuffle files are only deleted when the JVM garbage-collects the
+      // dereferenced ShuffleDependency (ContextCleaner), and with a big
+      // heap a GC may never happen — the 100× dedup point accumulated
+      // >79 GB of dead shuffle/spill files and died on disk while every
+      // op ran fine in isolation. Aggressive periodic GC keeps dead
+      // shuffles bounded to one op's footprint.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id % 7)").collect() // warmup
@@ -195,12 +203,26 @@ object ScaleProbe {
   }
 
   /** Near-dup shapes over replicated documents. Each replica's text is
-    * token-salted (every space becomes ` r<i> `) so replicas share NO
+    * token-salted by SUFFIXING every token (`word` → `word_r<i>`, the
+    * same bijective shingle map MakeScale uses) so replicas share NO
     * shingles with each other — without the salt, N exact copies of each
     * doc are all mutual near-dups and the OUTPUT itself is quadratic in
     * N, which would measure the answer's size, not the operator. With
     * the salt, pair counts scale linearly (one planted set per replica)
-    * and the probe isolates the candidate-generation shape. */
+    * and the probe isolates the candidate-generation shape. The suffix
+    * form matters: the first cut inserted ` r<i> ` BETWEEN words, which
+    * degrades trigram shingles to bigram-equivalent overlap and inflated
+    * LSH band-bucket density 249× at 10× — the probe then measures the
+    * corpus artifact, not the operator (see SCALING.md r6).
+    *
+    * Each op runs in its OWN SparkContext, stopped right after: a
+    * stopped context deletes its local dirs, so dead shuffle/spill
+    * files from one op never stack onto the next. In a single shared
+    * session the 100× point accumulated >79 GB of shuffle files across
+    * the 4 ops × min-of-2 runs and died on disk, while every op ran
+    * fine in isolation — shuffle files are freed only when the JVM GCs
+    * the dereferenced ShuffleDependency, and a big-heap driver between
+    * collections holds them indefinitely (SCALING.md r6). */
   private def probeDedup(spark: SparkSession, sfDir: String,
                          mults: Array[Int]): Unit = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -208,33 +230,65 @@ object ScaleProbe {
     def replicate(n: Int): DataFrame =
       (0 until n).map { i =>
         base.select((col("doc_id") + lit(i * idStride)).as("doc_id"),
-          regexp_replace(col("text"), " ", s" r$i ").as("text"))
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_r$i")).as("text"))
       }.reduce(_ unionByName _)
-    mults.foreach { m =>
+    val dirs = mults.map { m =>
       val dir = s"/tmp/graft_scale_docs_${m}x"
       replicate(m).write.mode("overwrite").parquet(dir)
-      val d = spark.read.parquet(dir)
-      def time(f: => Unit): Double = {
-        val best = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.min
-        math.rint(best * 1000) / 1000
-      }
+      m -> dir
+    }
+    val counts = dirs.map { case (m, dir) =>
+      m -> spark.read.parquet(dir).count()
+    }.toMap
+    spark.stop() // replica writer's shuffle files released before timing
+
+    def inOwnSession(dir: String)(f: DataFrame => Unit): Double = {
+      val s = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.range(1000000).selectExpr("sum(id % 7)").collect() // codegen warmup
+      val d = s.read.parquet(dir)
+      val best = (1 to 2).map { i =>
+        // between runs, force the ContextCleaner to notice run 1's now-
+        // unreachable ShuffleDependencies and delete their files — one
+        // 500 k-doc jaccard run spills ~dozens of GB, so two runs' worth
+        // of dead files in one session can exceed the disk
+        if (i > 1) { System.gc(); Thread.sleep(3000) }
+        val t0 = System.nanoTime(); f(d); (System.nanoTime() - t0) / 1e9
+      }.min
+      s.stop()
+      math.rint(best * 1000) / 1000
+    }
+
+    dirs.foreach { case (m, dir) =>
       var pairs = 0L
-      val tJac = time {
+      val tJac = inOwnSession(dir) { d =>
         pairs = operators.Dedup.ngramJaccardPairs(d, col("doc_id"),
           col("text"), 3, 0.5, maxShingleDf = Some(100)).count()
       }
-      val tLsh = time {
+      val tLsh = inOwnSession(dir) { d =>
         operators.Dedup.minhashLshPairs(d, col("doc_id"), col("text"),
           3, 16, 4, 0.5).write.mode("overwrite").format("noop").save()
       }
-      val tSim = time {
+      val tSim = inOwnSession(dir) { d =>
         operators.Dedup.simhashPairs(d, col("doc_id"), col("text"), 3)
           .write.mode("overwrite").format("noop").save()
       }
-      val rows = d.count()
-      println(s"""{"mult":$m,"docs":$rows,"jaccard_df_cap_s":$tJac,"jaccard_pairs":$pairs,"minhash_lsh_s":$tLsh,"simhash_s":$tSim}""")
+      // cluster resolution over the LSH pairs (the q72 shape): label
+      // propagation rounds grow with cluster DIAMETER, not corpus size,
+      // so wall-clock should track the pair count linearly
+      val tCc = inOwnSession(dir) { d =>
+        operators.Dedup.dupClusters(
+            operators.Dedup.minhashLshPairs(d, col("doc_id"), col("text"),
+              3, 16, 4, 0.5), col("d1"), col("d2"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(s"""{"mult":$m,"docs":${counts(m)},"jaccard_df_cap_s":$tJac,"jaccard_pairs":$pairs,"minhash_lsh_s":$tLsh,"simhash_s":$tSim,"dup_clusters_s":$tCc}""")
     }
   }
 }

@@ -1457,10 +1457,10 @@ object SparkEntry {
       val tk = TextFunctions.tokensSql("text")
       s"""WITH tok AS (SELECT doc_id AS id, unnest($tk) AS t FROM documents),
           tc AS (SELECT id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-          th AS (SELECT id, cnt, ${TextFunctions.hash32Sql("t")} AS h FROM tc),
+          th AS (SELECT id, cnt, ${TextFunctions.hash60Sql("t")} AS h FROM tc),
           bits AS (SELECT id, b,
                      sum(CASE WHEN (h >> b) % 2 = 1 THEN cnt ELSE -cnt END) AS vote
-                   FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY 1, 2),
+                   FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY 1, 2),
           sig AS (SELECT id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b)
                                            ELSE 0 END) AS BIGINT) AS simhash
                   FROM bits GROUP BY 1)

@@ -203,35 +203,45 @@ object Dedup {
 
   /** 32-bit token-frequency-weighted SimHash per document.
     *
-    * The 32 bit-votes are 32 aggregate columns over the (id, token)
-    * frame — map-side combined, no 32× row explosion (an earlier explode
-    * formulation amplified the shuffle 32-fold and dominated the bench).
+    * The 60 bit-votes are 60 aggregate columns over the (id, token)
+    * frame — map-side combined, no 60× row explosion (an earlier explode
+    * formulation amplified the shuffle per-bit and dominated the bench).
+    *
+    * 60-bit fingerprints (hash60, the portable md5 prefix), not 32: the
+    * pair join blocks on fingerprint quarters, and 8-bit quarters give
+    * only 256 bucket values — at 500 k docs EVERY doc collides into the
+    * same 256 buckets per block and the candidate join materializes
+    * ~n²/256 intermediate rows per block (measured: a >79 GB spill at
+    * the 100× scale probe before this was widened). 15-bit quarters
+    * (32 768 values) are the Manku et al. (WWW'07) wide-fingerprint
+    * design at the scale this engine targets.
     */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("id"), explode(tokens(text)).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash32(col("t")))
+      .withColumn("h", hash60(col("t")))
     def vote(b: Int): Column =
       sum(when(call_function("shiftright", col("h"), lit(b)) % 2 === 1,
         col("cnt")).otherwise(-col("cnt")))
     val votes = tok.groupBy(col("id"))
-      .agg(vote(0).as("v0"), (1 until 32).map(b => vote(b).as(s"v$b")): _*)
+      .agg(vote(0).as("v0"), (1 until 60).map(b => vote(b).as(s"v$b")): _*)
     votes.select(col("id"),
-      (0 until 32).map(b =>
+      (0 until 60).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs with SimHash Hamming distance ≤ maxHam (≤ 3 for
     * completeness under 4-block blocking). Join key is (block index,
-    * 8-bit block value) — linear candidate generation. */
+    * 15-bit block value) — linear candidate generation while per-block
+    * bucket density stays ~n/32768. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    maxHam: Int): DataFrame = {
     require(maxHam <= 3, "4-block pigeonhole blocking is complete only for Hamming <= 3")
     val sig = simhash(df, id, text)
     val blocked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), 8 * i) % 256): _*)).as(Seq("blk", "bval")))
+        shiftright(col("simhash"), 15 * i) % 32768): _*)).as(Seq("blk", "bval")))
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.id") < col("y.id"))

@@ -113,7 +113,7 @@ class DedupSpec extends AnyFunSuite {
     val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(1L) == sig(3L))
-    assert(sig.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 60)))
     val again = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig == again)
