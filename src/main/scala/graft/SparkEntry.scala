@@ -1128,6 +1128,41 @@ object SparkEntry {
       Tables.events(s, d).select(col("event_id"),
         out.getField("topic").as("topic"),
         out.getField("telegram").as("telegram"))
+    }),
+
+    // Q88 — offline reverse geocode on kit relocation (MyDatacollector.py
+    // :1041-1078 UpdateNewHome + lib/MyGPS.py:155-176 GPS2Address): kits
+    // whose current fix moved >= 119 m from home (the reference's gate —
+    // `GPSdistance(...) < 119: return False`) resolve the nearest
+    // gazetteer place within the lookup radius via a geohash-cell
+    // BROADCAST join + exact-haversine argmin; kits with nothing in range
+    // keep NULL address columns (the reference's `{}` on a failed lookup).
+    // Customers play the gazetteer dimension; suppliers play the kits.
+    "q88_reverse_geocode" -> ((s, d) => {
+      val kits = Tables.supplier(s, d).select(col("s_suppkey"),
+          (lit(51.0) + (col("s_suppkey") % 200) * 0.004).as("home_lat"),
+          (lit(5.0) + (col("s_suppkey") * 3 % 200) * 0.006).as("home_lon"))
+        .withColumn("cur_lat", col("home_lat") +
+          when(col("s_suppkey") % 7 === 0, 0.01)
+            .when(col("s_suppkey") % 7 === 1, 0.0008).otherwise(0.0))
+        .withColumn("cur_lon", col("home_lon") +
+          when(col("s_suppkey") % 5 === 0, 0.012).otherwise(0.0))
+        .withColumn("moved_m", GeoFunctions.haversineM(
+          col("home_lat"), col("home_lon"), col("cur_lat"), col("cur_lon")))
+        .where(col("moved_m") >= 119.0)
+      val places = Tables.customer(s, d).select(
+        col("c_custkey").as("place_key"), col("c_name").as("place_name"),
+        (lit(51.0) + (col("c_custkey") % 220) * 0.0037).as("p_lat"),
+        (lit(5.0) + (col("c_custkey") * 7 % 220) * 0.0055).as("p_lon"))
+      ReverseGeocode.nearestWithinRadius(kits,
+          col("s_suppkey"), col("cur_lat"), col("cur_lon"),
+          places, col("place_key"), col("p_lat"), col("p_lon"),
+          radiusM = 1500.0, maxAbsLat = 52.2)
+        .join(kits.select(col("s_suppkey").as("key"), col("moved_m")), Seq("key"))
+        .join(broadcast(places.select(col("place_key"), col("place_name"))),
+          Seq("place_key"), "left")
+        .select(col("key").as("s_suppkey"), round(col("moved_m"), 2).as("moved_m"),
+          col("place_key"), col("place_name"), round(col("dist_m"), 2).as("dist_m"))
     })
   )
 
@@ -2361,6 +2396,56 @@ object SparkEntry {
                        CASE WHEN event_id % 3 = 0 THEN 'null'
                             ELSE CAST(event_id % 100 AS VARCHAR) END,
                        '}}') AS telegram
-         FROM events"""
+         FROM events""",
+
+    // Brute-force twin of the blocked nearest-place join: every moved kit
+    // against every place, argmin by (dist, place_key), LEFT join keeps
+    // out-of-range kits with NULL address columns.
+    "q88_reverse_geocode" ->
+      """WITH kits AS (
+            SELECT s_suppkey,
+                   51.0 + (s_suppkey % 200) * 0.004 AS home_lat,
+                   5.0 + (s_suppkey*3 % 200) * 0.006 AS home_lon
+            FROM supplier),
+          cur AS (
+            SELECT s_suppkey, home_lat, home_lon,
+                   home_lat + CASE WHEN s_suppkey % 7 = 0 THEN 0.01
+                                   WHEN s_suppkey % 7 = 1 THEN 0.0008
+                                   ELSE 0.0 END AS cur_lat,
+                   home_lon + CASE WHEN s_suppkey % 5 = 0 THEN 0.012
+                                   ELSE 0.0 END AS cur_lon
+            FROM kits),
+          moved AS (
+            SELECT s_suppkey, cur_lat, cur_lon,
+                   2*6371000*asin(sqrt(
+                     pow(sin(radians(cur_lat-home_lat)/2),2) +
+                     cos(radians(home_lat))*cos(radians(cur_lat))
+                       *pow(sin(radians(cur_lon-home_lon)/2),2))) AS moved_m
+            FROM cur
+            WHERE 2*6371000*asin(sqrt(
+                     pow(sin(radians(cur_lat-home_lat)/2),2) +
+                     cos(radians(home_lat))*cos(radians(cur_lat))
+                       *pow(sin(radians(cur_lon-home_lon)/2),2))) >= 119.0),
+          places AS (
+            SELECT c_custkey AS place_key, c_name AS place_name,
+                   51.0 + (c_custkey % 220) * 0.0037 AS p_lat,
+                   5.0 + (c_custkey*7 % 220) * 0.0055 AS p_lon
+            FROM customer),
+          nearest AS (
+            SELECT m.s_suppkey, p.place_key, p.place_name,
+                   2*6371000*asin(sqrt(
+                     pow(sin(radians(p.p_lat-m.cur_lat)/2),2) +
+                     cos(radians(m.cur_lat))*cos(radians(p.p_lat))
+                       *pow(sin(radians(p.p_lon-m.cur_lon)/2),2))) AS dist_m
+            FROM moved m JOIN places p
+              ON 2*6371000*asin(sqrt(
+                     pow(sin(radians(p.p_lat-m.cur_lat)/2),2) +
+                     cos(radians(m.cur_lat))*cos(radians(p.p_lat))
+                       *pow(sin(radians(p.p_lon-m.cur_lon)/2),2))) <= 1500.0
+            QUALIFY row_number() OVER (PARTITION BY m.s_suppkey
+                                       ORDER BY dist_m, p.place_key) = 1)
+         SELECT m.s_suppkey, round(m.moved_m, 2) AS moved_m,
+                n.place_key, n.place_name, round(n.dist_m, 2) AS dist_m
+         FROM moved m LEFT JOIN nearest n USING (s_suppkey)"""
   )
 }
