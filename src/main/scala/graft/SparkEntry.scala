@@ -1163,6 +1163,25 @@ object SparkEntry {
           Seq("place_key"), "left")
         .select(col("key").as("s_suppkey"), round(col("moved_m"), 2).as("moved_m"),
           col("place_key"), col("place_name"), round(col("dist_m"), 2).as("dist_m"))
+    }),
+
+    // Q89 — HighCharts chart-document round trip (visualisation/
+    // ChartsPM.pl:553-615 Array2Units, :1659-1669 JS var emission):
+    // per-station×pollutant series regridded from the FIRST reading
+    // (values[0] raw, bucket k≥1 means, empty/sub-0.1 buckets → JS null,
+    // the Perl's int(x*10+0.4)/10 rounding, MINHOURS gate), emitted as a
+    // chart document and parsed back distributively. 'error' events are
+    // throttled to 1-in-149 so the MINHOURS gate provably fires.
+    "q89_chart_doc" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .where(col("event_type") =!= "error" || col("event_id") % 149 === 0)
+      val blocks = ChartDoc.seriesBlocks(e,
+        (col("user_id") % 12).cast("int"), col("event_type"),
+        eS(col("ts")), col("event_id"), col("value"))
+      val f = java.nio.file.Files.createTempDirectory("q89")
+        .resolve("charts.html")
+      java.nio.file.Files.writeString(f, ChartDoc.document(blocks))
+      ChartDoc.parseSeries(s, f.toString)
     })
   )
 
@@ -2446,6 +2465,42 @@ object SparkEntry {
                                        ORDER BY dist_m, p.place_key) = 1)
          SELECT m.s_suppkey, round(m.moved_m, 2) AS moved_m,
                 n.place_key, n.place_name, round(n.dist_m, 2) AS dist_m
-         FROM moved m LEFT JOIN nearest n USING (s_suppkey)"""
+         FROM moved m LEFT JOIN nearest n USING (s_suppkey)""",
+
+    // Closed form of the ChartsPM regrid: bucket 0 = raw first reading,
+    // bucket k≥1 = mean over [t0+(k-1)u, t0+ku), empty or sub-0.1 buckets
+    // NULL, floor(m*10+0.4)/10 rounding on the 6-decimal-stable DECIMAL,
+    // MINHOURS(12)+1 admission, spine out to each series' last bucket.
+    "q89_chart_doc" ->
+      """WITH base AS (
+            SELECT CAST(user_id % 12 AS INT) AS st, event_type AS pol,
+                   epoch_us(ts)//1000000 AS t, event_id AS o, value AS v
+            FROM events
+            WHERE event_type != 'error' OR event_id % 149 = 0),
+          srs AS (
+            SELECT *, row_number() OVER (PARTITION BY st, pol
+                                         ORDER BY t, o) AS rn,
+                   min(t) OVER (PARTITION BY st, pol) AS t0,
+                   count(*) OVER (PARTITION BY st, pol) AS n
+            FROM base),
+          bk AS (
+            SELECT st, pol, t0,
+                   CASE WHEN rn = 1 THEN 0 ELSE (t - t0)//3600 + 1 END AS k,
+                   avg(v) AS m, max(CASE WHEN rn = 1 THEN v END) AS raw
+            FROM srs WHERE n >= 13 GROUP BY 1, 2, 3, 4),
+          r AS (
+            SELECT st, pol, t0, k,
+                   CASE WHEN k = 0 THEN raw
+                        WHEN CAST(m AS DECIMAL(18,6)) < 0.1 THEN NULL
+                        ELSE CAST(floor(CAST(m AS DECIMAL(18,6))*10 + 0.4)
+                                  AS DOUBLE)/10
+                   END AS value
+            FROM bk),
+          spine AS (
+            SELECT st, pol, t0, unnest(range(0, kmax + 1)) AS k
+            FROM (SELECT st, pol, t0, max(k) AS kmax
+                  FROM r GROUP BY 1, 2, 3))
+         SELECT s.st, s.pol, s.k, s.t0 + s.k*3600 AS ts_s, r.value
+         FROM spine s LEFT JOIN r USING (st, pol, t0, k)"""
   )
 }
