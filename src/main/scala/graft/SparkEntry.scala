@@ -1182,6 +1182,33 @@ object SparkEntry {
         .resolve("charts.html")
       java.nio.file.Files.writeString(f, ChartDoc.document(blocks))
       ChartDoc.parseSeries(s, f.toString)
+    }),
+
+    // Q90 — Leaflet station-map round trip (SamenMetenTools/
+    // Things2HTML.py:223-252 InitOverlays, :296-358 GetMarkerAttr,
+    // :502-585 Data2Map): stations on every year overlay a sensor was
+    // active, marker attrs from the regex cascade over the sorted sensor
+    // set (incl. the pm1-at-end and pm1+pm10→"PM₂.₅, PM₁₀" reference
+    // quirks), a "Geen metingen" circle for stations lacking a union
+    // sensor, rendered as a Leaflet document and parsed back. Synthetic
+    // station/sensor/year spread over events: st = user_id%40, sensor by
+    // a deterministic hash of (st, event_type), years fanned by
+    // event_id%4 so overlay ranges genuinely span multiple years.
+    "q90_map_doc" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val st = (col("user_id") % 40).cast("int")
+      val idx = (st * 3 + length(col("event_type")) * 7 +
+        ascii(substring(col("event_type"), 1, 1))) % 10
+      val sensor = element_at(array(lit("pm1"), lit("pm25"), lit("pm10"),
+        lit("co2"), lit("no2"), lit("o3"), lit("nh3"), lit("palmes"),
+        lit("temperatuur"), lit("RH")), idx + 1)
+      val markers = MapDoc.stationYearMarkers(e, st, sensor,
+        eS(col("ts")) + (col("event_id") % 4) * 31536000L,
+        lit(51.0) + (st % 37) * 0.011, lit(5.0) + (st * 5 % 41) * 0.013)
+      val f = java.nio.file.Files.createTempDirectory("q90")
+        .resolve("map.html")
+      java.nio.file.Files.writeString(f, MapDoc.document(markers))
+      MapDoc.parseMarkers(s, f.toString)
     })
   )
 
@@ -2501,6 +2528,90 @@ object SparkEntry {
             FROM (SELECT st, pol, t0, max(k) AS kmax
                   FROM r GROUP BY 1, 2, 3))
          SELECT s.st, s.pol, s.k, s.t0 + s.k*3600 AS ts_s, r.value
-         FROM spine s LEFT JOIN r USING (st, pol, t0, k)"""
+         FROM spine s LEFT JOIN r USING (st, pol, t0, k)""",
+
+    // Closed form of the Things2HTML map: per-sensor first/last, year
+    // fan-out, the GetMarkerAttr cascade on the sorted comma-joined
+    // lowered sensor set, and a no-measurements circle per station
+    // missing a union sensor. e0 literals keep the location arithmetic
+    // DOUBLE (decimal scale would render trailing zeros differently).
+    "q90_map_doc" ->
+      """WITH base AS (
+            SELECT CAST(user_id % 40 AS INT) AS st,
+                   CASE (CAST(user_id % 40 AS INT)*3 + length(event_type)*7
+                         + ascii(substr(event_type, 1, 1))) % 10
+                     WHEN 0 THEN 'pm1' WHEN 1 THEN 'pm25' WHEN 2 THEN 'pm10'
+                     WHEN 3 THEN 'co2' WHEN 4 THEN 'no2' WHEN 5 THEN 'o3'
+                     WHEN 6 THEN 'nh3' WHEN 7 THEN 'palmes'
+                     WHEN 8 THEN 'temperatuur' ELSE 'RH' END AS sensor,
+                   epoch_us(ts)//1000000 + (event_id % 4) * 31536000 AS t
+            FROM events),
+          ps AS (SELECT st, sensor, min(t) AS tf, max(t) AS tl
+                 FROM base GROUP BY 1, 2),
+          sl AS (SELECT st, min(tf) AS t0, max(tl) AS t1, count(*) AS nsens,
+                        round(51.0e0 + (st % 37) * 0.011e0, 3) AS lat,
+                        round(5.0e0 + (st*5 % 41) * 0.013e0, 3) AS lon,
+                        strftime(to_timestamp(min(tf)), '%Y-%m-%d') AS first_d,
+                        strftime(to_timestamp(max(tl)), '%Y-%m-%d') AS last_d
+                 FROM ps GROUP BY st),
+          un AS (SELECT count(DISTINCT sensor) AS total FROM base),
+          sy AS (SELECT DISTINCT st, sensor,
+                        unnest(range(year(to_timestamp(tf)),
+                                     year(to_timestamp(tl)) + 1)) AS yr
+                 FROM ps),
+          py AS (SELECT st, yr,
+                        string_agg(sensor, ',' ORDER BY sensor) AS pols,
+                        lower(string_agg(sensor, ',' ORDER BY sensor)) AS m
+                 FROM sy GROUP BY 1, 2),
+          at AS (SELECT st, yr, pols, m,
+                        (length(m) - length(replace(m, 'pm', '')))//2 AS pmc
+                 FROM py),
+          yr_rows AS (
+            SELECT a.st, CAST(a.yr AS INT) AS yr, s.lat, s.lon,
+                   CASE WHEN pmc >= 3 THEN 'cadetblue'
+                        WHEN pmc = 2 AND regexp_matches(m, 'pm(10|₁₀)') THEN 'cadetblue'
+                        WHEN pmc = 2 AND regexp_matches(m, 'pm(2[.,]?5|₂.₅)') THEN 'cadetblue'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(1|₁)[^0-9]') THEN 'lightblue'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(2[.,]?5|₂.₅)') THEN 'cadetblue'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(10|₁₀)') THEN 'blue'
+                        ELSE 'lightgray' END AS color,
+                   CASE WHEN pmc >= 3 THEN 'spinner'
+                        WHEN pmc = 2 THEN 'cogs'
+                        WHEN pmc = 1 THEN 'cog'
+                        WHEN regexp_matches(m, 'co[0-9]') THEN 'cloud'
+                        WHEN regexp_matches(m, 'no[0-9]') THEN 'cloud'
+                        WHEN regexp_matches(m, 'o[0-9]') THEN 'cloud'
+                        WHEN regexp_matches(m, 'nh[0-9]') THEN 'cloud'
+                        WHEN regexp_matches(m, 'palmes') THEN 'cloud-downloud'
+                        WHEN regexp_matches(m, 'temperatuur|rh') THEN 'thermometer-3'
+                        ELSE 'guestion' END AS icon,
+                   'fa' AS prefix, 'white' AS icon_color,
+                   CASE WHEN pmc >= 3 THEN 'PM₁, PM₂.₅, PM₁₀'
+                        WHEN pmc = 2 AND regexp_matches(m, 'pm(10|₁₀)') THEN 'PM₂.₅, PM₁₀'
+                        WHEN pmc = 2 AND regexp_matches(m, 'pm(2[.,]?5|₂.₅)') THEN 'PM₁, PM₂.₅'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(1|₁)[^0-9]') THEN 'PM₁'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(2[.,]?5|₂.₅)') THEN 'PM₂.₅'
+                        WHEN pmc >= 1 AND regexp_matches(m, 'pm(10|₁₀)') THEN 'PM₁₀'
+                        WHEN pmc >= 1 THEN NULL
+                        WHEN regexp_matches(m, 'co[0-9]') THEN 'CO₂'
+                        WHEN regexp_matches(m, 'no[0-9]') THEN 'stikstof'
+                        WHEN regexp_matches(m, 'o[0-9]') THEN 'ozon'
+                        WHEN regexp_matches(m, 'nh[0-9]') THEN 'ammoniak'
+                        WHEN regexp_matches(m, 'palmes') THEN 'gas (Palmes)'
+                        WHEN regexp_matches(m, 'temperatuur|rh') THEN '°C en RH%'
+                        ELSE NULL END AS description,
+                   a.pols, s.first_d, s.last_d
+            FROM at a JOIN sl s USING (st)),
+          circles AS (
+            SELECT s.st, CAST(NULL AS INT) AS yr, s.lat, s.lon,
+                   'cadetblue' AS color, CAST(NULL AS VARCHAR) AS icon,
+                   CAST(NULL AS VARCHAR) AS prefix,
+                   CAST(NULL AS VARCHAR) AS icon_color,
+                   CAST(NULL AS VARCHAR) AS description,
+                   CAST(NULL AS VARCHAR) AS pols, s.first_d, s.last_d
+            FROM sl s, un u WHERE s.nsens < u.total)
+         SELECT st, yr, lat, lon, color, icon, prefix, icon_color,
+                description, pols, first_d, last_d
+         FROM (SELECT * FROM yr_rows UNION ALL SELECT * FROM circles)"""
   )
 }
