@@ -1209,6 +1209,32 @@ object SparkEntry {
         .resolve("map.html")
       java.nio.file.Files.writeString(f, MapDoc.document(markers))
       MapDoc.parseMarkers(s, f.toString)
+    }),
+
+    // Q91 — LSH-banded near-dup PAIRS: the scale path for q46's exact
+    // all-pairs cosine (the one quadratic in the contract). Candidates =
+    // pairs colliding in ≥1 SRP band (4 bands × 8 planes, planes = first
+    // corpus vectors), bucket-capped, then exact-cosine verified at 0.9.
+    // The raw embeddings are near-orthogonal (max pair cos 0.51), so the
+    // corpus is augmented with deterministic perturbed twins of every
+    // 10th vector — integer-rational deltas, bit-identical in both
+    // engines — giving true near-dups spread around the threshold.
+    "q91_lsh_neardup_pairs" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s) // vec_dot
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"))
+      val twins = base.where(col("id") % 10 === 0)
+        .withColumn("v2", transform(col("v"), (x, i) =>
+          x.cast("double") +
+            (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
+              (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
+        .select((col("id") + 10000L).as("id"), col("v2").as("v"))
+      val corpus = base
+        .select(col("id"), transform(col("v"), x => x.cast("double")).as("v"))
+        .unionByName(twins)
+      Similarity.cosineNearDupPairsLsh(corpus, col("id"), col("v"),
+        threshold = 0.9, planesPerBand = 8, bands = 4)
     })
   )
 
@@ -2612,6 +2638,43 @@ object SparkEntry {
             FROM sl s, un u WHERE s.nsens < u.total)
          SELECT st, yr, lat, lon, color, icon, prefix, icon_color,
                 description, pols, first_d, last_d
-         FROM (SELECT * FROM yr_rows UNION ALL SELECT * FROM circles)"""
+         FROM (SELECT * FROM yr_rows UNION ALL SELECT * FROM circles)""",
+
+    // Mirrors the banded-SRP candidate scheme exactly (q66 pattern), incl.
+    // the bucket cap; e0 literals keep the twin deltas DOUBLE.
+    "q91_lsh_neardup_pairs" ->
+      s"""WITH raw AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                       FROM embeddings),
+          base AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
+                   FROM raw),
+          tw AS (SELECT id + 10000 AS id,
+                        list(CAST(x AS DOUBLE) +
+                             ((id*31 + (ord-1)*17) % 7 - 3) *
+                             (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v
+                 FROM (SELECT id, unnest(v) AS x,
+                              generate_subscripts(v, 1) AS ord
+                       FROM raw WHERE id % 10 = 0)
+                 GROUP BY id),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+          pl AS (SELECT CAST(id // 8 AS INT) AS band, CAST(id % 8 AS INT) AS p,
+                        v AS p_v
+                 FROM corpus WHERE id < 32),
+          coded AS (SELECT c.id, band,
+                      CAST(sum(CASE WHEN ${Similarity.dotSql("c.v", "p_v")} >= 0
+                               THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                    FROM corpus c CROSS JOIN pl GROUP BY 1, 2),
+          ok AS (SELECT band, bucket FROM coded GROUP BY 1, 2
+                 HAVING count(*) BETWEEN 2 AND 1000),
+          cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+                   FROM coded a
+                   JOIN ok USING (band, bucket)
+                   JOIN coded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.id < b.id),
+          scored AS (SELECT d1, d2,
+                       ${Similarity.cosineSql("e1.v", "e2.v")} AS cos
+                     FROM cand
+                     JOIN corpus e1 ON e1.id = d1
+                     JOIN corpus e2 ON e2.id = d2)
+          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9"""
   )
 }

@@ -86,6 +86,58 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** LSH-banded near-dup PAIRS — the scale path for [[cosineNearDupPairs]]
+    * when no blocking key exists: candidates are pairs colliding in at
+    * least one signed-random-projection band (bands × planesPerBand
+    * hyperplanes = the first corpus vectors, deterministic), verified
+    * with the exact cosine so every emitted pair is a true ≥ threshold
+    * match. Recall is the banded-SRP curve: a pair at angle θ collides
+    * per band with prob (1−θ/π)^p, OR'd over bands — sized for HIGH
+    * thresholds (≥0.8), where all-pairs would be the only exact
+    * alternative and is quadratic.
+    *
+    * Scale shape: ONE pass codes the corpus per band (32-plane broadcast,
+    * map-side combined aggregation), one shuffle into (band, bucket)
+    * posting lists whose pair fan-out is capped at `bucketCap²` (buckets
+    * past the cap are degenerate collision clusters and contribute no
+    * pairs — same contract as the n-gram/MinHash posting-list cap,
+    * mirrored in the oracle), a distinct on (d1, d2), then two narrow
+    * hash joins to fetch vectors for the exact verify. No all-pairs
+    * anywhere, and no recomputation of the coding subplan (a bucket
+    * self-join formulation re-ran it 4×). */
+  def cosineNearDupPairsLsh(emb: DataFrame, id: Column, vec: Column,
+                            threshold: Double, planesPerBand: Int,
+                            bands: Int, bucketCap: Int = 1000): DataFrame = {
+    ensureRegistered(emb)
+    val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+    val pl = base.where(col("id") < planesPerBand * bands)
+      .select((col("id") / planesPerBand).cast("int").as("band"),
+        pmod(col("id"), lit(planesPerBand)).cast("int").as("p"),
+        col("v").as("p_v"))
+    val coded = base.join(broadcast(pl))
+      .groupBy(col("id"), col("band"))
+      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
+        call_function("shiftleft", lit(1L), col("p")))
+        .otherwise(0L)).as("bucket"))
+    val posting = coded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, bucketCap))
+    val cand = posting.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("d1"), y.as("d2")))))).as("pr"))
+      .select(col("pr.d1"), col("pr.d2")).distinct()
+    cand
+      .join(base.select(col("id").as("d1"), col("v").as("v1"),
+        col("n2").as("nn1")), Seq("d1"))
+      .join(base.select(col("id").as("d2"), col("v").as("v2"),
+        col("n2").as("nn2")), Seq("d2"))
+      .select(col("d1"), col("d2"), (dot(col("v1"), col("v2")) /
+        sqrt(col("nn1") * col("nn2"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Signed-random-projection bucket id per vector: bit p = sign of the
     * dot product against plane p, planes = the first P corpus vectors
     * (deterministic, no shared RNG with the oracle). */

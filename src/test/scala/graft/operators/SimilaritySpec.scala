@@ -114,6 +114,52 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.meanRecallAtK(single, bf, 4))
   }
 
+
+  test("LSH near-dup pairs: precision exact, twins found, cap kills degenerate buckets") {
+    import spark.implicits._
+    // 40 base vectors in 8 dims spread over directions (first 16 double as
+    // the 2x8 planes), plus near-duplicate twins of every 4th vector
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val twins = base.collect { case (i, v) if i % 4 == 0 =>
+      (i + 1000L, v.map(x => x + 0.02f * (i % 3 + 1)))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("embedding"))
+    val got = Similarity.cosineNearDupPairsLsh(corpus, col("vec_id"),
+      col("embedding"), 0.95, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every emitted pair is a true >= 0.95 pair (vs brute force)
+    val all = (base ++ twins).map { case (i, v) => (i, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val truth = (for {
+      (i, vi) <- all; (j, vj) <- all if i < j
+      c = cos(vi, vj) if c >= 0.95
+    } yield (i, j)).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (d1, d2, c) =>
+      assert(truth((d1, d2)), s"false positive ($d1,$d2)")
+      assert(c >= 0.95)
+    }
+    // recall on the planted twins: SRP collides highly-similar pairs in
+    // at least one of the two bands for most twins
+    val found = got.map(p => (p._1, p._2)).toSet
+    val twinPairs = twins.map(t => (t._1 - 1000L, t._1)).filter(truth)
+    assert(twinPairs.count(found) >= twinPairs.size / 2,
+      s"recall collapse: ${twinPairs.count(found)}/${twinPairs.size}")
+    // bucket cap: capping at 1 admits no bucket (every pair needs a
+    // bucket with >= 2 members) so no pairs survive
+    assert(Similarity.cosineNearDupPairsLsh(corpus, col("vec_id"),
+      col("embedding"), 0.95, 8, 2, bucketCap = 1).count() == 0)
+  }
+
+
   test("kmeans: recovers planted cluster centers; empty cells keep previous centroid") {
     import spark.implicits._
     // two tight planted clusters far apart; init = first 2 vectors, which
