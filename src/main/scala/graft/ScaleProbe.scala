@@ -43,6 +43,9 @@ object ScaleProbe {
 
     if (dedupMode) { probeDedup(spark, sfDir, mults); spark.stop(); return }
     if (annMode) { probeAnn(spark, sfDir); spark.stop(); return }
+    if (args.lift(2).contains("lshpairs")) {
+      probeLshPairs(spark, sfDir, mults); return
+    }
 
     val base = Tables.events(spark, sfDir)
     // offsets derived from the data so replicas stay disjoint at ANY sf
@@ -223,6 +226,64 @@ object ScaleProbe {
     * fine in isolation — shuffle files are freed only when the JVM GCs
     * the dereferenced ShuffleDependency, and a big-heap driver between
     * collections holds them indefinitely (SCALING.md r6). */
+  /** LSH near-dup pairs (the q91 shape) over a growing embedding corpus:
+    * replicas are sign-flip-decorrelated (the MakeScale rule) so
+    * cross-replica cosines ≈ 0 and the true-pair count stays linear in
+    * the multiplier (every 10th vector gets a perturbed twin). Timed in
+    * own sessions like the dedup legs; pair count printed so output
+    * linearity is auditable, wall-clock should track the corpus, never
+    * its square. */
+  private def probeLshPairs(spark: SparkSession, sfDir: String,
+                            mults: Array[Int]): Unit = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val vStride = emb.agg(max(col("id"))).head().getLong(0) + 1
+    def replicate(n: Int) =
+      (0 until n).map { i =>
+        emb.select((col("id") + lit(i * vStride)).as("id"),
+          (if (i == 0) col("embedding")
+           else transform(col("embedding"), (x, j) =>
+             when(pmod(xxhash64(j * 41 + lit(i * 977)), lit(2)) === 0, x)
+               .otherwise(-x))).as("embedding"))
+      }.reduce(_ unionByName _)
+    val dirs = mults.map { m =>
+      val dir = s"/tmp/graft_scale_emb_${m}x"
+      val base = replicate(m).select(col("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val twins = base.where(col("id") % 10 === 0)
+        .withColumn("v2", transform(col("v"), (x, j) =>
+          x + (((col("id") * 31 + j.cast("long") * 17) % 7) - 3).cast("double") *
+            (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
+        .select((col("id") + lit(vStride * m)).as("id"), col("v2").as("v"))
+      base.unionByName(twins).write.mode("overwrite").parquet(dir)
+      m -> dir
+    }
+    spark.stop()
+    dirs.foreach { case (m, dir) =>
+      val s = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      graft.plans.GraftExtensions.register(s)
+      s.range(1000000).selectExpr("sum(id % 7)").collect()
+      val d = s.read.parquet(dir)
+      var pairs = 0L
+      val best = (1 to 2).map { i =>
+        if (i > 1) { System.gc(); Thread.sleep(2000) }
+        val t0 = System.nanoTime()
+        pairs = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
+          col("v"), 0.9, 8, 4).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val nVec = d.count()
+      s.stop()
+      println(s"""{"mult":$m,"vectors":$nVec,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs}""")
+    }
+  }
+
   private def probeDedup(spark: SparkSession, sfDir: String,
                          mults: Array[Int]): Unit = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

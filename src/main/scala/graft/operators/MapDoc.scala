@@ -150,6 +150,15 @@ object MapDoc {
     sb.append("<html><head><script src=\"leaflet.js\"></script></head><body>\n")
     sb.append(s"""<h1 style="position:absolute;z-index:100000;left:40vw">$title</h1>\n""")
     sb.append("<div id=\"map\"></div>\n<script>\n")
+    sb.append(
+      """function icn(m) { return L.AwesomeMarkers.icon({icon: m.icon,
+        |  prefix: m.prefix, markerColor: m.color, iconColor: m.icon_color}); }
+        |function pop(m) { var t = '<h4 align="left">Station S' + m.st + '</h4>';
+        |  if (m.pols) t += '<h5><i>Sensors</i>: ' + m.pols + '</h5>';
+        |  if (m.first_d) t += '<br>Eerste meting: ' + m.first_d + '</br>';
+        |  if (m.last_d) t += '<br>Laatste meting: ' + m.last_d + '</br>';
+        |  return t; }
+        |""".stripMargin)
     val lats = js.map(_._4); val lons = js.map(_._5)
     sb.append(s"var map = L.map('map').setView([${r3(avg0(lats))}, ${r3(avg0(lons))}], 11);\n")
     sb.append(s"map.fitBounds([[${r3(lats.min)}, ${r3(lons.min)}], [${r3(lats.max)}, ${r3(lons.max)}]]);\n")
