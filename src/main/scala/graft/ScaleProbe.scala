@@ -270,17 +270,18 @@ object ScaleProbe {
       graft.plans.GraftExtensions.register(s)
       s.range(1000000).selectExpr("sum(id % 7)").collect()
       val d = s.read.parquet(dir)
+      val nVec = d.count()
+      val (p, bands) = operators.Similarity.lshPairKnobs(nVec, 0.9)
       var pairs = 0L
       val best = (1 to 2).map { i =>
         if (i > 1) { System.gc(); Thread.sleep(2000) }
         val t0 = System.nanoTime()
         pairs = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
-          col("v"), 0.9, 8, 4).count()
+          col("v"), 0.9, p, bands).count()
         (System.nanoTime() - t0) / 1e9
       }.min
-      val nVec = d.count()
       s.stop()
-      println(s"""{"mult":$m,"vectors":$nVec,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs}""")
+      println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs}""")
     }
   }
 

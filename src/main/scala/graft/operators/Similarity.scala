@@ -138,6 +138,45 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Knob sizing for [[cosineNearDupPairsLsh]] at a given corpus size —
+    * the scale math, kept pure so it is testable and auditable:
+    *
+    *  - planes per band `p = max(4, ceil(log2(n / targetBucket)))` keeps
+    *    the expected bucket size ≈ targetBucket, so per-band candidate
+    *    fan-out stays ~n·targetBucket (LINEAR in n). A fixed p is a
+    *    silent quadratic: at 100× the corpus, 2^p buckets hold n/2^p
+    *    vectors each and pair counts grow n²/2^p — and once density
+    *    passes the bucket cap, every bucket is dropped and recall
+    *    collapses to 0 (the same failure mode the SimHash fingerprints
+    *    were widened for).
+    *  - bands `B = ceil(ln(1−targetRecall) / ln(1−(1−θ/π)^p))` from the
+    *    SRP collision curve at the threshold angle θ: each band is an
+    *    independent trial, so B bands give recall 1−(1−(1−θ/π)^p)^B for
+    *    a pair exactly at the threshold (better-than-threshold pairs do
+    *    better). Bands cost one bucket shuffle each, never all-pairs. */
+  def lshPairKnobs(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                   targetBucket: Int = 256): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && targetRecall > 0 && targetRecall < 1)
+    val p = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    val perBand = math.pow(1 - math.acos(threshold) / math.Pi, p)
+    val bands = math.max(2, math.ceil(
+      math.log(1 - targetRecall) / math.log(1 - perBand)).toInt)
+    (p, bands)
+  }
+
+  /** [[cosineNearDupPairsLsh]] with knobs auto-sized from the corpus
+    * count via [[lshPairKnobs]] — the form a production near-dup pass
+    * uses (the count is one cheap aggregate; a planning statistic). */
+  def cosineNearDupPairsLshAuto(emb: DataFrame, id: Column, vec: Column,
+                                threshold: Double, targetRecall: Double = 0.9,
+                                targetBucket: Int = 256,
+                                bucketCap: Int = 1000): DataFrame = {
+    val (p, bands) = lshPairKnobs(emb.count(), threshold, targetRecall,
+      targetBucket)
+    cosineNearDupPairsLsh(emb, id, vec, threshold, p, bands, bucketCap)
+  }
+
   /** Signed-random-projection bucket id per vector: bit p = sign of the
     * dot product against plane p, planes = the first P corpus vectors
     * (deterministic, no shared RNG with the oracle). */

@@ -115,6 +115,29 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
 
+
+  test("lshPairKnobs: bucket-density-linear planes, recall-curve bands") {
+    // planes track log2(n/targetBucket): fixed p would be an n^2/2^p
+    // quadratic and a recall cliff once density passes the bucket cap
+    val (p1, b1) = Similarity.lshPairKnobs(5500L, 0.9)
+    val (p2, b2) = Similarity.lshPairKnobs(55000L, 0.9)
+    val (p3, b3) = Similarity.lshPairKnobs(5500000L, 0.9)
+    assert(p1 < p2 && p2 < p3)
+    assert(math.abs(p3 - math.log(5500000.0 / 256) / math.log(2)) <= 1)
+    // more planes per band -> need more bands for the same recall
+    assert(b1 <= b2 && b2 <= b3)
+    // at fixed n: lower threshold (wider angle) or higher recall -> more bands
+    assert(Similarity.lshPairKnobs(55000L, 0.8)._2 >
+      Similarity.lshPairKnobs(55000L, 0.95)._2)
+    assert(Similarity.lshPairKnobs(55000L, 0.9, targetRecall = 0.99)._2 >
+      Similarity.lshPairKnobs(55000L, 0.9, targetRecall = 0.5)._2)
+    // the banded recall formula actually clears the target at threshold
+    val (p, b) = Similarity.lshPairKnobs(55000L, 0.9, targetRecall = 0.9)
+    val perBand = math.pow(1 - math.acos(0.9) / math.Pi, p)
+    assert(1 - math.pow(1 - perBand, b) >= 0.9)
+  }
+
+
   test("LSH near-dup pairs: precision exact, twins found, cap kills degenerate buckets") {
     import spark.implicits._
     // 40 base vectors in 8 dims spread over directions (first 16 double as
