@@ -148,14 +148,19 @@ object Similarity {
     *    vectors each and pair counts grow n²/2^p — and once density
     *    passes the bucket cap, every bucket is dropped and recall
     *    collapses to 0 (the same failure mode the SimHash fingerprints
-    *    were widened for).
+    *    were widened for). The default targetBucket is SMALL (8): total
+    *    verify work scales ∝ n^(1+ρ)·targetBucket^(1−ρ) with
+    *    ρ = −log2(1−θ/π) ≈ 0.22 at cos 0.9, so fat buckets only inflate
+    *    the candidate set (a 256 default measured 25× slower at 30×
+    *    corpus in the scale probe) — extra bands are the cheap currency
+    *    (one bucket shuffle each), bucket width is not.
     *  - bands `B = ceil(ln(1−targetRecall) / ln(1−(1−θ/π)^p))` from the
     *    SRP collision curve at the threshold angle θ: each band is an
     *    independent trial, so B bands give recall 1−(1−(1−θ/π)^p)^B for
     *    a pair exactly at the threshold (better-than-threshold pairs do
     *    better). Bands cost one bucket shuffle each, never all-pairs. */
   def lshPairKnobs(n: Long, threshold: Double, targetRecall: Double = 0.9,
-                   targetBucket: Int = 256): (Int, Int) = {
+                   targetBucket: Int = 8): (Int, Int) = {
     require(threshold > 0 && threshold < 1 && targetRecall > 0 && targetRecall < 1)
     val p = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
@@ -170,7 +175,7 @@ object Similarity {
     * uses (the count is one cheap aggregate; a planning statistic). */
   def cosineNearDupPairsLshAuto(emb: DataFrame, id: Column, vec: Column,
                                 threshold: Double, targetRecall: Double = 0.9,
-                                targetBucket: Int = 256,
+                                targetBucket: Int = 8,
                                 bucketCap: Int = 1000): DataFrame = {
     val (p, bands) = lshPairKnobs(emb.count(), threshold, targetRecall,
       targetBucket)

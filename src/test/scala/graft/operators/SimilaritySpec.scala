@@ -123,7 +123,7 @@ class SimilaritySpec extends AnyFunSuite {
     val (p2, b2) = Similarity.lshPairKnobs(55000L, 0.9)
     val (p3, b3) = Similarity.lshPairKnobs(5500000L, 0.9)
     assert(p1 < p2 && p2 < p3)
-    assert(math.abs(p3 - math.log(5500000.0 / 256) / math.log(2)) <= 1)
+    assert(math.abs(p3 - math.log(5500000.0 / 8) / math.log(2)) <= 1)
     // more planes per band -> need more bands for the same recall
     assert(b1 <= b2 && b2 <= b3)
     // at fixed n: lower threshold (wider angle) or higher recall -> more bands
