@@ -908,29 +908,42 @@ object SparkEntry {
       val iso = date_format(date_trunc("second", col("ts")),
         "yyyy-MM-dd'T'HH:mm:ss'Z'")
       val payloadB64 = base64(devId.cast("binary"))
-      // gateway i: integral-double snr/rssi derived from event_id; score
-      // gaps are ≥ 60 − 13.8 so the argmax is tie-free by construction
-      def gw(i: Int) = struct(
-        lit(s"gw$i").as("gtw_id"),
-        (-(lit(50) + (col("event_id") + lit(13 * i)) % 70)).cast("double").as("rssi"),
-        ((col("event_id") + lit(7 * i)) % 20 - 10).cast("double").as("snr"))
-      val nGw = (col("event_id") % 3 + 1).cast("int")
-      val gws = slice(array(gw(0), gw(1), gw(2)), lit(1), nGw)
-      val v2 = to_json(struct(
-        lit("app1").as("app_id"), devId.as("dev_id"), port.as("port"),
-        counter.as("counter"), payloadB64.as("payload_raw"),
-        struct(iso.as("time"), gws.as("gateways")).as("metadata")))
-      val v3 = to_json(struct(
-        struct(devId.as("device_id"),
-          struct(lit("app1").as("application_id")).as("application_ids"))
-          .as("end_device_ids"),
-        iso.as("received_at"),
-        struct(port.as("f_port"), counter.as("f_cnt"),
-          payloadB64.as("frm_payload"),
-          transform(gws, g => struct(
-            struct(g.getField("gtw_id").as("gateway_id")).as("gateway_ids"),
-            g.getField("rssi").as("rssi"), g.getField("snr").as("snr")))
-            .as("rx_metadata")).as("uplink_message")))
+      // Gateway i: integral snr/rssi derived from event_id; score gaps
+      // are ≥ 60 − 13.8 so the argmax is tie-free by construction.
+      // The envelope fixture is rendered as pure `concat` string
+      // building, NOT to_json(struct(...)): the struct/HOF form put the
+      // whole render Project on the CodegenFallback path (ArrayTransform
+      // and slice-of-struct-array are interpreted) and made q76 the
+      // slowest query of the sf1 sweep (20.7 s); the concat chain is
+      // whole-stage-codegen'd. from_json parses JSON numbers to the same
+      // doubles either way — only parsed VALUES are on the hash path.
+      def rssi(i: Int) = -(lit(50) + (col("event_id") + lit(13 * i)) % 70)
+      def snr(i: Int) = (col("event_id") + lit(7 * i)) % 20 - 10
+      def gwV2(i: Int) = concat(
+        lit(s"""{"gtw_id":"gw$i","rssi":"""), rssi(i),
+        lit(""","snr":"""), snr(i), lit("}"))
+      def gwV3(i: Int) = concat(
+        lit(s"""{"gateway_ids":{"gateway_id":"gw$i"},"rssi":"""), rssi(i),
+        lit(""","snr":"""), snr(i), lit("}"))
+      // nGw = event_id % 3 + 1 ∈ {1,2,3}; concat_ws drops the null
+      // branches so the array literal holds exactly the first nGw entries
+      def gwList(gw: Int => Column) = concat_ws(",", gw(0),
+        when(col("event_id") % 3 >= 1, gw(1)),
+        when(col("event_id") % 3 === 2, gw(2)))
+      val v2 = concat(
+        lit("""{"app_id":"app1","dev_id":""""), devId,
+        lit("""","port":"""), port,
+        lit(""","counter":"""), counter,
+        lit(""","payload_raw":""""), payloadB64,
+        lit("""","metadata":{"time":""""), iso,
+        lit("""","gateways":["""), gwList(gwV2), lit("]}}"))
+      val v3 = concat(
+        lit("""{"end_device_ids":{"device_id":""""), devId,
+        lit("""","application_ids":{"application_id":"app1"}},"received_at":""""), iso,
+        lit("""","uplink_message":{"f_port":"""), port,
+        lit(""","f_cnt":"""), counter,
+        lit(""","frm_payload":""""), payloadB64,
+        lit("""","rx_metadata":["""), gwList(gwV3), lit("]}}"))
       val lines = e.select(concat(
         lit("devices/"), col("event_id"), lit(" "),
         when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))

@@ -142,25 +142,30 @@ object Forwarding {
 
   /** Escape for tag keys / tag values / field keys per the public
     * InfluxDB line-protocol spec: backslash-escape `\`, `,`, `=`, and
-    * space. Pure Column chain — codegen'd, no UDF. */
+    * space. Every search string is a fixed literal, so this uses the
+    * non-regex `replace` (StringReplace) — a plain codegen'd substring
+    * scan. The first cut chained `regexp_replace`; on the sf1 sweep the
+    * per-row regex machinery made q83 the second-slowest query in the
+    * contract (10.5 s vs DuckDB 0.66 s) for what is a literal-byte
+    * substitution. */
   private def lpEscape(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(c, "\\\\", "\\\\\\\\"),
-          ",", "\\\\,"),
-        "=", "\\\\="),
-      " ", "\\\\ ")
+    replace(
+      replace(
+        replace(
+          replace(c, lit("\\"), lit("\\\\")),
+          lit(","), lit("\\,")),
+        lit("="), lit("\\=")),
+      lit(" "), lit("\\ "))
 
   /** Measurement names escape only `,` and space (`=` is NOT special in
     * the measurement position — escaping it would store a literal
     * backslash and break lookups of measurements containing `=`). */
   private def lpEscapeMeasurement(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, "\\\\", "\\\\\\\\"),
-        ",", "\\\\,"),
-      " ", "\\\\ ")
+    replace(
+      replace(
+        replace(c, lit("\\"), lit("\\\\")),
+        lit(","), lit("\\,")),
+      lit(" "), lit("\\ "))
 
   /** One field value rendered like the reference's `Influx_write`
     * (RPi/MyINFLUXPUB.py:134-152): numeric columns bare (`12.5`, ints
@@ -171,8 +176,8 @@ object Forwarding {
     dt match {
       case t: org.apache.spark.sql.types.NumericType => v.cast("string")
       case _ => concat(lit("\""),
-        regexp_replace(regexp_replace(v.cast("string"),
-          "\\\\", "\\\\\\\\"), "\"", "\\\\\""), lit("\""))
+        replace(replace(v.cast("string"),
+          lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")), lit("\""))
     }
 
   /** K5 — InfluxDB line-protocol lines as a single string column:
