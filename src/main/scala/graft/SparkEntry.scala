@@ -1248,6 +1248,37 @@ object SparkEntry {
         .unionByName(twins)
       Similarity.cosineNearDupPairsLsh(corpus, col("id"), col("v"),
         threshold = 0.9, planesPerBand = 8, bands = 4)
+    }),
+
+    // Q92 — J2 stream-static enrichment across a REAL micro-batch
+    // boundary (KitCache metadata lookup, MyMQTTclient.py:606-827): the
+    // telegram stream broadcast-joins the kit registry per micro-batch;
+    // the join is stateless so the streamed output must equal the batch
+    // join the oracle states.
+    "q92_stream_enrich" -> ((s, d) =>
+      graft.streaming.Replay.replayStreamEnrich(s, d)),
+
+    // Q93 — D7 event extraction (HasEvent, MyDatacollector.py:1019-1035):
+    // port-3 meta event telegrams are byte-encoded, decoded back through
+    // the real LoRa meta decoder, and the event number translated to its
+    // notice/artifact; numbers outside the {13,14,15} table drop (the
+    // reference's KeyError → empty-artifact path).
+    "q93_event_extract" -> ((s, d) => {
+      import graft.ingest.LoRaPipeline
+      val e = Tables.events(s, d)
+      val version = (col("event_id") % 25 + 10).cast("int")
+      val eventNum = (col("event_id") % 17).cast("int")
+      val dec = LoRaPipeline.decodeMetaEvent(
+        LoRaPipeline.encodeMetaEvent(version, eventNum))
+      val ev = LoRaPipeline.extractEvent(
+        concat(lit("k"), col("user_id")), dec.getField("_2"))
+      e.select(col("event_id"),
+          dec.getField("_1").as("fw_version"),
+          dec.getField("_2").as("event_num"),
+          ev.getField("event_name").as("event_name"),
+          ev.getField("notice").as("notice"),
+          ev.getField("artifact").as("artifact"))
+        .where(col("event_name").isNotNull)
     })
   )
 
@@ -2688,6 +2719,36 @@ object SparkEntry {
                      FROM cand
                      JOIN corpus e1 ON e1.id = d1
                      JOIN corpus e2 ON e2.id = d2)
-          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9"""
+          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9""",
+
+    // q92: the stream-static join is stateless, so the oracle is the
+    // plain batch join — equality proves the two-micro-batch replay
+    // changed nothing.
+    "q92_stream_enrich" ->
+      """SELECT e.event_id, e.user_id % 100 AS kit_key,
+                'p' || CAST(s.s_nationkey AS VARCHAR) AS project, e.value
+         FROM events e
+         JOIN supplier s ON (e.user_id % 100) = s.s_suppkey
+         WHERE s.s_suppkey % 3 <> 0""",
+
+    // q93: closed form of the port-3 meta event round trip + HasEvent
+    // name table; events outside {13,14,15} drop.
+    "q93_event_extract" ->
+      """WITH src AS (SELECT event_id, user_id,
+                             CAST(event_id % 25 + 10 AS INT) AS vb,
+                             CAST(event_id % 17 AS INT) AS en
+                      FROM events)
+         SELECT event_id, vb / 10.0 AS fw_version, en AS event_num,
+                CASE en WHEN 13 THEN 'Accu level' WHEN 14 THEN 'Watch Dog'
+                        WHEN 15 THEN 'Controller Reset' END AS event_name,
+                'Measurement kit with id k' || CAST(user_id AS VARCHAR) ||
+                  ' raised event ' ||
+                  CASE en WHEN 13 THEN 'Accu level' WHEN 14 THEN 'Watch Dog'
+                          WHEN 15 THEN 'Controller Reset' END ||
+                  ', value ' || CAST(en AS VARCHAR) AS notice,
+                'Raised event: ' ||
+                  CASE en WHEN 13 THEN 'Accu level' WHEN 14 THEN 'Watch Dog'
+                          WHEN 15 THEN 'Controller Reset' END || '.' AS artifact
+         FROM src WHERE en IN (13, 14, 15)"""
   )
 }

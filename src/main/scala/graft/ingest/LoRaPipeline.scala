@@ -46,4 +46,47 @@ object LoRaPipeline {
     import org.apache.spark.sql.functions.{coalesce, element_at, lower, map, lit, typedLit}
     coalesce(element_at(typedLit(fieldSynonyms), lower(c)), lower(c))
   }
+
+  // ------------------------------------------------ D7 event extraction
+
+  /** Event-number → name table (MyDatacollector.py:1022). Numbers outside
+    * the table raise in the reference (`{...}[event]` KeyError) and the
+    * telegram carries no event — here they map to null and the caller
+    * filters. */
+  private val eventNames: Map[Int, String] =
+    Map(13 -> "Accu level", 14 -> "Watch Dog", 15 -> "Controller Reset")
+
+  /** Encode a port-3 meta EVENT telegram: `[version, 0, event]` — byte 1
+    * = 0 is the event discriminator ([[LoRaDecode.decodeMeta]] reads the
+    * version from byte 0 and the event number from the last byte). Thin
+    * byte-codec UDF, same sanction as the BME280 pair. */
+  val encodeMetaEvent = udf((version: Int, event: Int) =>
+    Array[Byte](version.toByte, 0.toByte, event.toByte))
+
+  /** Decode a port-3 meta telegram to (version, event). */
+  val decodeMetaEvent = udf((bytes: Array[Byte]) => {
+    val m = LoRaDecode.decodeMeta(bytes)
+    (m.nums("version"), m.nums("event").toInt)
+  })
+
+  /** D7 — HasEvent (MyDatacollector.py:1019-1035): translate the decoded
+    * event number to its name and build the notice message + artifact
+    * line. Returns a struct (event_name, notice, artifact); name is null
+    * for numbers outside the table (the reference's KeyError → `return
+    * []` path). NOTE the reference as-written then `del meta['event']`
+    * BEFORE interpolating `meta['event']` into the message, so its
+    * notice path dies on a KeyError swallowed by the caller's bare
+    * except (MyDatacollector.py:1646) — we implement the evident intent
+    * (the message with the raw number) and keep the artifact format
+    * `Raised event: <name>.` verbatim. */
+  def extractEvent(kitId: Column, eventNum: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, element_at, lit, struct, typedLit}
+    val name = element_at(typedLit(eventNames), eventNum.cast("int"))
+    struct(
+      name.as("event_name"),
+      concat(lit("Measurement kit with id "), kitId,
+        lit(" raised event "), name,
+        lit(", value "), eventNum.cast("int")).as("notice"),
+      concat(lit("Raised event: "), name, lit(".")).as("artifact"))
+  }
 }

@@ -148,4 +148,58 @@ object Replay {
       case None    => raw
     }
   }
+
+  /** J2 stream-static enrichment replayed over a REAL micro-batch
+    * boundary (reference: KitCache metadata lookup per telegram,
+    * lib/MyMQTTclient.py:606-827 — AccessInfo `:724` resolves each
+    * telegram's kit against the DB-backed cache, unregistered/inactive
+    * kits drop, `:1694-1700`). Spark-first shape: the telegram stream
+    * broadcast-joins the metadata dimension; Structured Streaming
+    * re-evaluates the static side per micro-batch, which is exactly the
+    * reference's TTL'd cache re-read.
+    *
+    * The join is stateless, so stream output must equal the batch join —
+    * that equality is the oracle (q92): supplier plays the kit registry,
+    * kit_key = user_id % 100 (events kits fold onto the registry domain
+    * at any MakeScale multiplier — replicas are new kits with the same
+    * registry rows), active = s_suppkey % 3 ≠ 0. */
+  def replayStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.events(spark, sfDir).select(
+      col("event_id"), (col("user_id") % 100).as("kit_key"),
+      unix_timestamp(col("ts")).as("ts"), col("value"))
+    val dim = broadcast(Tables.supplier(spark, sfDir).select(
+      col("s_suppkey").as("kit_key"),
+      concat(lit("p"), col("s_nationkey")).as("project"),
+      (col("s_suppkey") % 3 =!= 0).as("active")))
+    Seq("enrich_in", "enrich_ckpt", "enrich_out", "enrich_stage")
+      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
+    val inDir = Files.createDirectories(tmpRoot.resolve("enrich_in"))
+    val bounds = corpus.agg(min(col("ts")), max(col("ts"))).head()
+    val tMid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
+        ("replay-1.parquet", col("ts") > tMid, 2000000L)).foreach {
+      case (name, pred, mtime) =>
+        val stage = tmpRoot.resolve("enrich_stage").toString + "/" + name
+        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = inDir.resolve(name)
+        Files.move(part, dest)
+        dest.toFile.setLastModified(mtime)
+    }
+    val outDir = tmpRoot.resolve("enrich_out").toString
+    val q = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .join(dim, Seq("kit_key"), "left")
+      .where(col("active")) // inactive/unregistered kits drop
+      .select(col("event_id"), col("kit_key"), col("project"), col("value"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpRoot.resolve("enrich_ckpt").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

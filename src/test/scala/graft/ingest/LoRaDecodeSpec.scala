@@ -120,6 +120,30 @@ class LoRaDecodeSpec extends AnyFunSuite {
     assert(m7.tags("dust") == "unknown" && m7.tags("meteo") == "unknown")
   }
 
+  test("D7 event extraction: meta event round trip + HasEvent name table") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // known events 13/14/15 name + notice + artifact; 12/16 drop
+    val out = Seq((7L, 13), (8L, 14), (9L, 15), (10L, 12), (11L, 16))
+      .toDF("kit", "en")
+      .select(col("kit"), LoRaPipeline.decodeMetaEvent(
+          LoRaPipeline.encodeMetaEvent(lit(21), col("en"))).as("dec"))
+      .select(col("kit"), col("dec._1").as("version"), col("dec._2").as("event"),
+        LoRaPipeline.extractEvent(concat(lit("k"), col("kit")), col("dec._2")).as("ev"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getStruct(3).getAs[String]("event_name"),
+        r.getStruct(3).getAs[String]("artifact"))).toSeq
+    assert(out.forall(_._2 == 2.1)) // version byte round trip
+    assert(out.map(_._3) == Seq(13, 14, 15, 12, 16)) // event byte round trip
+    assert(out.map(_._4) == Seq("Accu level", "Watch Dog", "Controller Reset", null, null))
+    assert(out.head._5 == "Raised event: Accu level.")
+    val notice = Seq((7L, 13)).toDF("kit", "en")
+      .select(LoRaPipeline.extractEvent(concat(lit("k"), col("kit")), col("en"))
+        .getField("notice")).as[String].head()
+    assert(notice == "Measurement kit with id k7 raised event Accu level, value 13")
+  }
+
   test("port 12 rule codec: encode/decode round-trip incl. NaN sentinels") {
     val readings = Seq(
       1 -> Seq(Some(17.1), Some(69.0), Some(1030.0)),      // BME280
