@@ -46,7 +46,16 @@ object Multimodal {
     * so an oracle can compute the expected decode output arithmetically
     * while the engine path round-trips through actual PNG encode bytes.
     * PNG is lossless, so decoded pixels equal the generation rule exactly. */
-  def syntheticPng(id: Long): Array[Byte] = {
+  def syntheticPng(id: Long): Array[Byte] =
+    syntheticPngWith(id,
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
+  /** Encode one synthetic PNG through a caller-held writer — the
+    * per-partition-reuse form ([[syntheticPngTable]]): `ImageIO.write`
+    * re-runs writer-plugin discovery on EVERY call, which at media-corpus
+    * row counts costs more than the encode itself. */
+  private def syntheticPngWith(id: Long,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
     val w = 8 + Math.floorMod(id, 9L).toInt
     val h = 8 + Math.floorMod(id * 7, 9L).toInt
     val img = new java.awt.image.BufferedImage(
@@ -64,7 +73,11 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     // in-memory cache: no per-row tmp-file churn on executors
     javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -72,7 +85,12 @@ object Multimodal {
   def syntheticPngTable(docs: DataFrame, id: Column): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(id.cast("long")).as[Long]
-      .mapPartitions(_.map(i => MediaRecord(i, "image/png", syntheticPng(i))))
+      .mapPartitions { it =>
+        // one writer per partition, not per row (plugin discovery amortized)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map(i => MediaRecord(i, "image/png", syntheticPngWith(i, writer)))
+      }
   }
 
   /** REAL image decode: `javax.imageio` (JDK built-in — works headless,
@@ -88,14 +106,27 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // One PNG reader per partition: ImageIO.read runs reader-plugin
+      // discovery per CALL, which dominates at small-image row counts.
+      // Non-PNG blobs fall back to the discovery path; garbage falls
+      // through both into the error row.
+      val pngReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       it.map { m =>
         // ImageIO.read returns null only when NO reader claims the bytes;
         // a recognized-but-corrupt blob (valid magic, truncated body)
         // THROWS from the format reader instead — catch both paths into
         // the same error row.
-        val img = try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.content))
-        catch { case _: Exception => null }
+        val img = try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+          finally iis.close()
+        } catch { case _: Exception =>
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        }
         if (img == null) DecodedMedia(m.media_id, -1, -1, 0, Double.NaN)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
