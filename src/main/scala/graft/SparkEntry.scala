@@ -1279,7 +1279,15 @@ object SparkEntry {
           ev.getField("notice").as("notice"),
           ev.getField("artifact").as("artifact"))
         .where(col("event_name").isNotNull)
-    })
+    }),
+
+    // Q94 — event-time watermark windowed aggregation across a REAL
+    // micro-batch boundary (§2.8): batch 2 carries genuinely late rows
+    // (parity split, not time split); closed-window drops, open-window
+    // merges and the terminal flush are all deterministic closed forms
+    // of the data — see Replay.replayWatermarkAgg.
+    "q94_watermark_agg" -> ((s, d) =>
+      graft.streaming.Replay.replayWatermarkAgg(s, d))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2749,6 +2757,26 @@ object SparkEntry {
                 'Raised event: ' ||
                   CASE en WHEN 13 THEN 'Accu level' WHEN 14 THEN 'Watch Dog'
                           WHEN 15 THEN 'Controller Reset' END || '.' AS artifact
-         FROM src WHERE en IN (13, 14, 15)"""
+         FROM src WHERE en IN (13, 14, 15)""",
+
+    // q94: the watermark state machine in closed form — W1 after the
+    // even-id batch gates which odd rows are fresh; the late file drops
+    // entirely; output only windows the terminal watermark (W2) passed.
+    "q94_watermark_agg" ->
+      """WITH src AS (SELECT event_id, user_id % 20 AS kit, ts, value
+                      FROM events),
+          w1 AS (SELECT max(ts) - INTERVAL 37 MINUTE AS wm FROM src
+                 WHERE event_id % 2 = 0),
+          kept AS (SELECT * FROM src WHERE event_id % 2 = 0
+                   UNION ALL
+                   SELECT s.* FROM src s, w1
+                   WHERE s.event_id % 2 = 1 AND s.ts > w1.wm),
+          w2 AS (SELECT max(ts) - INTERVAL 37 MINUTE AS wm FROM kept),
+          agg AS (SELECT date_trunc('hour', ts) AS ws, kit,
+                         count(*) AS n,
+                         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+                  FROM kept GROUP BY 1, 2)
+          SELECT epoch_us(ws)//1000000 AS w_start, kit, n, s
+          FROM agg, w2 WHERE ws + INTERVAL 1 HOUR <= w2.wm"""
   )
 }

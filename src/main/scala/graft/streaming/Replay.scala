@@ -202,4 +202,73 @@ object Replay {
     q.awaitTermination()
     spark.read.parquet(outDir)
   }
+
+  /** §2.8 event-time watermark semantics replayed over REAL micro-batch
+    * boundaries, oracle-checkable in closed form (q94).
+    *
+    * Three staged files force every row fate the watermark state machine
+    * has (measured on this engine — a naive two-file split exercises
+    * NONE of them: aggregation state is only evicted once the watermark
+    * passes a window's end, and a "late" row is only dropped when its
+    * window has already been finalized, so late rows arriving in the
+    * same batch that would finalize their window still merge):
+    *
+    *   file 0: even ids (full time range)   — builds state, wm still 0
+    *   file 1: odd ids with ts > W1 (fresh) — runs at wm = W1, merges,
+    *           and its commit evicts+emits every window ending ≤ W1
+    *   file 2: odd ids with ts ≤ W1 (late)  — runs at wm = W2; every row
+    *           whose window closed under the watermark MUST drop
+    *
+    * with W1 = max(even ts) − delta, W2 = max(even ∪ fresh ts) − delta.
+    * The output is then a pure function of the data:
+    *   emitted = {windows over even ∪ fresh | window_end ≤ W2}
+    * (a file-2 row with window_end > W2 may merge, but its window is
+    * never emitted — the terminal flush stops at W2 — so the closed form
+    * is exact either way). `delta` is chosen off the hour grid (37 min)
+    * so neither watermark ever ties a window boundary and the ≤/> edge
+    * semantics stay unambiguous. */
+  def replayWatermarkAgg(spark: SparkSession, sfDir: String,
+                         deltaMin: Int = 37, windowMin: Int = 60): DataFrame = {
+    val corpus = Tables.events(spark, sfDir).select(
+      col("event_id"), (col("user_id") % 20).as("kit"),
+      col("ts").cast("timestamp").as("ts"), col("value"))
+    Seq("wm_in", "wm_ckpt", "wm_out", "wm_stage")
+      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
+    val inDir = Files.createDirectories(tmpRoot.resolve("wm_in"))
+    val w1 = corpus.where(col("event_id") % 2 === 0)
+      .agg((max(col("ts")) - expr(s"INTERVAL $deltaMin MINUTES")).as("wm"))
+      .head().getAs[java.sql.Timestamp]("wm")
+    val even = col("event_id") % 2 === 0
+    Seq(("replay-0.parquet", even, 1000000L),
+        ("replay-1.parquet", !even && col("ts") > lit(w1), 2000000L),
+        ("replay-2.parquet", !even && col("ts") <= lit(w1), 3000000L)).foreach {
+      case (name, pred, mtime) =>
+        val stage = tmpRoot.resolve("wm_stage").toString + "/" + name
+        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = inDir.resolve(name)
+        Files.move(part, dest)
+        dest.toFile.setLastModified(mtime)
+    }
+    val outDir = tmpRoot.resolve("wm_out").toString
+    val q = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .withWatermark("ts", s"$deltaMin minutes")
+      .groupBy(window(col("ts"), s"$windowMin minutes"), col("kit"))
+      // decimal-exact sum: addition order differs between engines (and
+      // across Spark shuffles), doubles would hash-flap at the 15th digit
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("kit"), col("n"), col("s"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpRoot.resolve("wm_ckpt").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }
