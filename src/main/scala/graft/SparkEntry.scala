@@ -1287,7 +1287,22 @@ object SparkEntry {
     // merges and the terminal flush are all deterministic closed forms
     // of the data — see Replay.replayWatermarkAgg.
     "q94_watermark_agg" -> ((s, d) =>
-      graft.streaming.Replay.replayWatermarkAgg(s, d))
+      graft.streaming.Replay.replayWatermarkAgg(s, d)),
+
+    // Q95 — product-quantization ADC top-k: the compression half of the
+    // ANN family (8×8-dim subspaces, 16 codes each → 64-dim floats in 8
+    // bytes, the footprint that lets a 10⁹-vector corpus sit in executor
+    // memory). First-16 codebooks keep it oracle-shareable (same stance
+    // as q56's first-K IVF centroids; kmeans-trained codebooks are the
+    // production path, probed in docs/SCALING.md).
+    "q95_pq_adc" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebookFirstK(e,
+        col("vec_id").cast("long"), col("embedding"), 8, 8, 16)
+      Similarity.pqAdcTopK(e, col("vec_id").cast("long"), col("embedding"),
+        8, 8, cb, nQueries = 5, k = 10)
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2777,6 +2792,45 @@ object SparkEntry {
                          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
                   FROM kept GROUP BY 1, 2)
           SELECT epoch_us(ws)//1000000 AS w_start, kit, n, s
-          FROM agg, w2 WHERE ws + INTERVAL 1 HOUR <= w2.wm"""
+          FROM agg, w2 WHERE ws + INTERVAL 1 HOUR <= w2.wm""",
+
+    // q95: the PQ pipeline in closed form — first-16 codebooks per
+    // subspace, argmin encode (reduced distance, lowest-code ties), LUT
+    // build, decimal-exact ADC sum, top-10 ascending.
+    "q95_pq_adc" ->
+      s"""WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+          subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+          slices AS (SELECT c.id, s.sub,
+                            list_slice(c.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
+                     FROM corpus c, subs s),
+          cb AS (SELECT sub, CAST(id AS INT) AS code, sv AS c_v,
+                        ${Similarity.dotSql("sv", "sv")} AS cn2
+                 FROM slices WHERE id < 16),
+          encd AS (SELECT sl.id, sl.sub, cb.code,
+                          (cb.cn2 - 2.0 * ${Similarity.dotSql("sl.sv", "cb.c_v")}) AS d
+                   FROM slices sl JOIN cb USING (sub)),
+          bestd AS (SELECT id, sub, min(d) AS md FROM encd GROUP BY 1, 2),
+          codes AS (SELECT e.id, e.sub, min(e.code) AS code
+                    FROM encd e JOIN bestd b
+                      ON e.id = b.id AND e.sub = b.sub AND e.d = b.md
+                    GROUP BY 1, 2),
+          lut AS (SELECT sl.id AS q_id, sl.sub, cb.code,
+                         CAST(${Similarity.dotSql("sl.sv", "sl.sv")} + cb.cn2 -
+                              2.0 * ${Similarity.dotSql("sl.sv", "cb.c_v")}
+                              AS DECIMAL(27,10)) AS pd
+                  FROM slices sl JOIN cb USING (sub)
+                  WHERE sl.id < 5),
+          scored AS (SELECT l.q_id, c.id AS n_id,
+                            CAST(sum(l.pd) AS DOUBLE) AS est
+                     FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+                     WHERE c.id <> l.q_id GROUP BY 1, 2),
+          ranked AS (SELECT q_id, n_id, est,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY est ASC, n_id ASC) AS rank
+                     FROM scored)
+          SELECT q_id, rank, n_id, round(est, 4) AS est
+          FROM ranked WHERE rank <= 10"""
   )
 }

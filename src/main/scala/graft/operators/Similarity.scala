@@ -483,4 +483,107 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  // ---------------------------------------------- product quantization
+
+  /** Per-vector subspace slices `(id, sub, sv)` — the common first step
+    * of every PQ stage. `dsub` = dims per subspace; slicing is a literal
+    * explode of `m` struct entries, no shuffle. */
+  private def pqSlices(emb: DataFrame, id: Column, vec: Column,
+                       m: Int, dsub: Int): DataFrame =
+    emb.select(id.as("id"), explode(array((0 until m).map { j =>
+      struct(lit(j).as("sub"),
+        slice(transform(vec, x => x.cast("double")),
+          j * dsub + 1, dsub).as("sv"))
+    }: _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Deterministic first-K PQ codebooks AS A FRAME `(sub, code, c_v,
+    * cn2)`: subspace `j`'s codebook = the slices of the first `ksub`
+    * corpus vectors (id order) — the oracle-shareable stand-in, same
+    * stance as [[ivfAssign]]'s first-K centroids. All arithmetic stays
+    * in Spark expressions so the DuckDB twin is bit-identical. */
+  def pqCodebookFirstK(emb: DataFrame, id: Column, vec: Column,
+                       m: Int, dsub: Int, ksub: Int): DataFrame = {
+    ensureRegistered(emb)
+    pqSlices(emb.where(id < ksub), id, vec, m, dsub)
+      .select(col("sub"), col("id").cast("int").as("code"),
+        col("sv").as("c_v"), dot(col("sv"), col("sv")).as("cn2"))
+  }
+
+  /** Trained PQ codebooks: an independent [[kmeansCentroids]] per
+    * subspace (classic PQ training — subspaces quantize independently,
+    * which is what makes the M small codebooks equivalent to one
+    * `ksub^M`-cell quantizer). Returns the same frame shape as
+    * [[pqCodebookFirstK]]. */
+  def pqCodebooksTrained(emb: DataFrame, id: Column, vec: Column,
+                         m: Int, dsub: Int, ksub: Int,
+                         iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = (0 until m).flatMap { j =>
+      kmeansCentroids(emb, id,
+        slice(transform(vec, x => x.cast("double")), j * dsub + 1, dsub),
+        ksub, iters)
+        .map { case (code, cv) => (j, code, cv) }
+    }
+    cents.toDF("sub", "code", "c_v")
+      .select(col("sub"), col("code"), col("c_v"),
+        dot(col("c_v"), col("c_v")).as("cn2"))
+  }
+
+  /** PQ encode: each vector → `m` codebook indices (one byte each at
+    * ksub ≤ 256 — a 64-dim float vector compresses 64×, which is what
+    * lets a 10⁹-vector corpus live in executor memory for the ADC scan).
+    * Argmin per subspace over the broadcast codebook with the reduced
+    * distance `‖c‖² − 2·v·c` (the `‖v‖²` term is constant per argmin);
+    * ties break to the lowest code via struct-min. Shape: one broadcast
+    * join (m·ksub rows) + two key-local aggregations — corpus-linear,
+    * no pairwise stage. */
+  def pqEncode(emb: DataFrame, id: Column, vec: Column,
+               m: Int, dsub: Int, codebook: DataFrame): DataFrame = {
+    ensureRegistered(emb)
+    pqSlices(emb, id, vec, m, dsub)
+      .join(broadcast(codebook), Seq("sub"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(
+        (col("cn2") - lit(2.0) * dot(col("sv"), col("c_v"))).as("d"),
+        col("code").as("code"))).as("best"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay RAW,
+    * the corpus is scanned as codes only. Per query a lookup table
+    * `pd(sub, code) = ‖q_sub‖² + ‖c‖² − 2·q_sub·c` (m·ksub entries) is
+    * built once and broadcast; each encoded vector's distance estimate
+    * is the sub-wise LUT sum — m lookups per (query, vector), never a
+    * full d-dim dot. Sums go through DECIMAL so the hash is addition-
+    * order-independent. Output mirrors [[knnBruteForce]]'s shape with
+    * `est` = estimated squared euclidean distance (ascending). */
+  def pqAdcTopK(emb: DataFrame, id: Column, vec: Column,
+                m: Int, dsub: Int, codebook: DataFrame,
+                nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
+    val enc = pqEncode(emb, id, vec, m, dsub, codebook)
+    val lut = pqSlices(emb.where(id < nQueries), id, vec, m, dsub)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("id").as("q_id"), col("sub"), col("code"),
+        (dot(col("sv"), col("sv")) + col("cn2") -
+          lit(2.0) * dot(col("sv"), col("c_v")))
+          .cast("decimal(27,10)").as("pd"))
+    val scored = enc
+      .select(col("id").as("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pd")).cast("double").as("est"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("est").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("est"), 4).as("est"))
+  }
 }

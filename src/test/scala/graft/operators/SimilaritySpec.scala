@@ -238,6 +238,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.length == 4 && counts.forall(_ == 8L))
   }
 
+  test("pq: codes well-formed, codebook vectors encode to themselves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 64L).map(i =>
+      (i, Array.fill(16)((rnd.nextGaussian() * 5).toFloat))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebookFirstK(data, col("vec_id"), col("embedding"), 4, 4, 8)
+    assert(cb.count() == 4 * 8)
+    val codes = Similarity.pqEncode(data, col("vec_id"), col("embedding"), 4, 4, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 64)
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // a vector IN the codebook quantizes to itself in every subspace
+    (0L until 8L).foreach(i =>
+      assert(codes(i) == Seq.fill(4)(i.toInt), s"codebook vector $i: ${codes(i)}"))
+  }
+
+  test("pq ADC: estimates match exact distances on codebook members; trained beats first-K") {
+    import spark.implicits._
+    // same angular 4-cluster corpus as the IVF test — cluster-blocked
+    // ids make the first-K codebooks degenerate (all codes from cluster
+    // 0) while trained per-subspace k-means spreads them
+    val data = (for (c <- 0 until 4; i <- 0 until 8) yield {
+      val id = (c * 8 + i).toLong
+      val th = c * 1.5 + i * 0.002
+      val r = 10.0 + i * 0.01
+      (id, Array((r * math.cos(th)).toFloat, (r * math.sin(th)).toFloat,
+        (r * math.cos(th + 0.7)).toFloat, (r * math.sin(th + 0.7)).toFloat))
+    }).toDF("vec_id", "embedding")
+    def meanQErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      // mean over vectors of the summed per-subspace reduced distance
+      // floor: reconstruct est dist to OWN code = quantization error
+      val enc = Similarity.pqEncode(data, col("vec_id"), col("embedding"), 2, 2, cb)
+      enc.select(col("id").as("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(cb, Seq("sub", "code"))
+        .join(data.select(col("vec_id").as("n_id"), col("embedding")), Seq("n_id"))
+        .select((Similarity.dot(col("c_v"), col("c_v")) -
+          lit(2.0) * Similarity.dot(
+            slice(transform(col("embedding"), x => x.cast("double")),
+              col("sub") * 2 + 1, lit(2)), col("c_v"))).as("d"))
+        .agg(avg(col("d"))).head().getDouble(0)
+    }
+    val firstK = Similarity.pqCodebookFirstK(data, col("vec_id"), col("embedding"), 2, 2, 4)
+    val trained = Similarity.pqCodebooksTrained(data, col("vec_id"), col("embedding"), 2, 2, 4, 8)
+    assert(meanQErr(trained) < meanQErr(firstK),
+      "per-subspace k-means must cut quantization error on clustered data")
+    // ADC with trained codebooks ranks the planted cluster first
+    val adc = Similarity.pqAdcTopK(data, col("vec_id"), col("embedding"),
+      2, 2, trained, nQueries = 4, k = 7)
+    val exact = Similarity.knnBruteForce(data, col("vec_id"), col("embedding"), 4, 7)
+    // euclidean ADC vs cosine exact agree on these planted clusters
+    assert(Similarity.meanRecallAtK(adc, exact, 7) >= 0.85,
+      "ADC must recover planted-cluster neighbours")
+  }
+
   test("recall@k: exact vs itself = 1; missing queries count as 0") {
     import spark.implicits._
     val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
