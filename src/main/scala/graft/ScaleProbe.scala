@@ -203,6 +203,74 @@ object ScaleProbe {
           col("embedding"), 16, 5, nprobe, nQ, k), exact, k))
       println(s"""{"probe":"ann","method":"ivf_trained_uniform","centroids":16,"iters":5,"nprobe":$nprobe,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
     }
+
+    // PQ quality: ADC ranks by estimated EUCLIDEAN distance, so the
+    // ground truth here is exact L2 top-k (recall vs the cosine truth
+    // would conflate metric mismatch with quantization loss). The real
+    // embeddings are the uniform floor case; the clustered corpus is
+    // where codebook TRAINING must pay off (first-K codebooks only see
+    // cluster 0's slices).
+    def exactL2(df: org.apache.spark.sql.DataFrame, nV: Int): org.apache.spark.sql.DataFrame = {
+      val base = df.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n2", operators.Similarity.norm2(col("v")))
+      val q = base.where(col("id") < nQ)
+        .select(col("id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
+      val scored = base.join(broadcast(q), col("q_id") =!= col("id"))
+        .select(col("q_id"), col("id").as("n_id"),
+          (col("q_n2") + col("n2") - lit(2.0) *
+            operators.Similarity.dot(col("q_v"), col("v"))).as("est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("est").asc, col("n_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("n_id"), col("est"))
+    }
+    val exactL2Real = exactL2(emb, n.toInt).cache(); exactL2Real.count()
+    for ((cbName, cb) <- Seq(
+        "first16" -> operators.Similarity.pqCodebookFirstK(
+          emb, col("vec_id").cast("long"), col("embedding"), 8, 8, 16),
+        "trained" -> operators.Similarity.pqCodebooksTrained(
+          emb, col("vec_id").cast("long"), col("embedding"), 8, 8, 16, 8))) {
+      val (rec, s) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.pqAdcTopK(emb, col("vec_id").cast("long"),
+          col("embedding"), 8, 8, cb, nQ, k), exactL2Real, k))
+      println(s"""{"probe":"ann","method":"pq_adc_uniform","codebook":"$cbName","m":8,"ksub":16,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+    }
+    // On TIGHT clusters recall@k is the WRONG PQ metric by construction:
+    // a good codebook quantizes every member of a 512-vector cluster to
+    // the SAME codes, all ADC distances tie, top-k degenerates to id
+    // order and recall collapses to ~k/cluster_size — the better the
+    // codebook, the worse the number (measured: trained 0.04 vs first-K
+    // 0.19, both meaningless). The honest clustered-corpus metric is
+    // QUANTIZATION ERROR (mean ‖v − q(v)‖²), where training must win;
+    // ADC top-k recall belongs on corpora with in-cluster structure
+    // (the real-embeddings leg above).
+    def meanQErr(df: org.apache.spark.sql.DataFrame, m: Int, dsub: Int,
+                 cb: org.apache.spark.sql.DataFrame): Double = {
+      val enc = operators.Similarity.pqEncode(df, col("vec_id"),
+        col("embedding"), m, dsub, cb)
+      val slices = df.select(col("vec_id").as("id"), explode(array(
+          (0 until m).map { j => struct(lit(j).as("sub"),
+            slice(transform(col("embedding"), x => x.cast("double")),
+              j * dsub + 1, dsub).as("sv")) }: _*)).as("e"))
+        .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      enc.select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(cb), Seq("sub", "code"))
+        .join(slices, Seq("id", "sub"))
+        .select((operators.Similarity.norm2(col("sv")) + col("cn2") -
+          lit(2.0) * operators.Similarity.dot(col("sv"), col("c_v"))).as("d"))
+        // rows = nVectors·m, so per-vector error = sum(d)·m / rows
+        .agg((sum(col("d")) * lit(m) / count(lit(1))).as("e"))
+        .head().getDouble(0)
+    }
+    for ((cbName, cb) <- Seq(
+        "first16" -> operators.Similarity.pqCodebookFirstK(
+          clustered, col("vec_id"), col("embedding"), 8, 4, 16),
+        "trained" -> operators.Similarity.pqCodebooksTrained(
+          clustered, col("vec_id"), col("embedding"), 8, 4, 16, 8))) {
+      val (err, s) = time(meanQErr(clustered, 8, 4, cb))
+      println(s"""{"probe":"ann","method":"pq_qerr_clustered","codebook":"$cbName","m":8,"ksub":16,"n":8192,"sum_qerr":${math.rint(err * 100) / 100},"s":$s}""")
+    }
   }
 
   /** Near-dup shapes over replicated documents. Each replica's text is
