@@ -235,6 +235,15 @@ object ScaleProbe {
         operators.Similarity.pqAdcTopK(emb, col("vec_id").cast("long"),
           col("embedding"), 8, 8, cb, nQ, k), exactL2Real, k))
       println(s"""{"probe":"ann","method":"pq_adc_uniform","codebook":"$cbName","m":8,"ksub":16,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(rec * 10000) / 10000},"s":$s}""")
+      // the serving recipe: exact rerank of the R·k ADC shortlist —
+      // recall is bounded by the shortlist's coverage, bought at R·k
+      // exact dots per query instead of N
+      for (r <- Seq(4, 16)) {
+        val (recR, sR) = time(operators.Similarity.meanRecallAtK(
+          operators.Similarity.pqAdcRerankTopK(emb, col("vec_id").cast("long"),
+            col("embedding"), 8, 8, cb, nQ, k, r), exactL2Real, k))
+        println(s"""{"probe":"ann","method":"pq_adc_rerank_uniform","codebook":"$cbName","rerank":$r,"m":8,"ksub":16,"n":$n,"n_queries":$nQ,"k":$k,"recall":${math.rint(recR * 10000) / 10000},"s":$sR}""")
+      }
     }
     // On TIGHT clusters recall@k is the WRONG PQ metric by construction:
     // a good codebook quantizes every member of a 512-vector cluster to

@@ -1302,6 +1302,19 @@ object SparkEntry {
         col("vec_id").cast("long"), col("embedding"), 8, 8, 16)
       Similarity.pqAdcTopK(e, col("vec_id").cast("long"), col("embedding"),
         8, 8, cb, nQueries = 5, k = 10)
+    }),
+
+    // Q96 — ADC + exact rerank, the standard PQ serving recipe: the
+    // 8-byte-code scan shortlists 4·k candidates, only those pay a
+    // raw-vector fetch + exact distance. Same first-16 codebooks as q95
+    // so the whole two-stage pipeline is oracle-shared.
+    "q96_pq_rerank" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebookFirstK(e,
+        col("vec_id").cast("long"), col("embedding"), 8, 8, 16)
+      Similarity.pqAdcRerankTopK(e, col("vec_id").cast("long"),
+        col("embedding"), 8, 8, cb, nQueries = 5, k = 10, rerank = 4)
     })
   )
 
@@ -2831,6 +2844,57 @@ object SparkEntry {
                               ORDER BY est ASC, n_id ASC) AS rank
                      FROM scored)
           SELECT q_id, rank, n_id, round(est, 4) AS est
-          FROM ranked WHERE rank <= 10"""
+          FROM ranked WHERE rank <= 10""",
+
+    // q96: q95's shortlist (rank ≤ 40) rejoined to the raw vectors for
+    // the exact distance, re-ranked top-10.
+    "q96_pq_rerank" ->
+      s"""WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+          subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+          slices AS (SELECT c.id, s.sub,
+                            list_slice(c.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
+                     FROM corpus c, subs s),
+          cb AS (SELECT sub, CAST(id AS INT) AS code, sv AS c_v,
+                        ${Similarity.dotSql("sv", "sv")} AS cn2
+                 FROM slices WHERE id < 16),
+          encd AS (SELECT sl.id, sl.sub, cb.code,
+                          (cb.cn2 - 2.0 * ${Similarity.dotSql("sl.sv", "cb.c_v")}) AS d
+                   FROM slices sl JOIN cb USING (sub)),
+          bestd AS (SELECT id, sub, min(d) AS md FROM encd GROUP BY 1, 2),
+          codes AS (SELECT e.id, e.sub, min(e.code) AS code
+                    FROM encd e JOIN bestd b
+                      ON e.id = b.id AND e.sub = b.sub AND e.d = b.md
+                    GROUP BY 1, 2),
+          lut AS (SELECT sl.id AS q_id, sl.sub, cb.code,
+                         CAST(${Similarity.dotSql("sl.sv", "sl.sv")} + cb.cn2 -
+                              2.0 * ${Similarity.dotSql("sl.sv", "cb.c_v")}
+                              AS DECIMAL(27,10)) AS pd
+                  FROM slices sl JOIN cb USING (sub)
+                  WHERE sl.id < 5),
+          adc AS (SELECT l.q_id, c.id AS n_id,
+                         CAST(sum(l.pd) AS DOUBLE) AS est
+                  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+                  WHERE c.id <> l.q_id GROUP BY 1, 2),
+          short AS (SELECT q_id, n_id FROM (
+                      SELECT q_id, n_id,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY est ASC, n_id ASC) AS rank
+                      FROM adc) WHERE rank <= 40),
+          n2s AS (SELECT id, ${Similarity.dotSql("v", "v")} AS n2 FROM corpus),
+          rr AS (SELECT s.q_id, s.n_id,
+                        (qn.n2 + cn.n2 - 2.0 * ${Similarity.dotSql("qc.v", "cc.v")}) AS d2
+                 FROM short s
+                 JOIN corpus qc ON qc.id = s.q_id
+                 JOIN corpus cc ON cc.id = s.n_id
+                 JOIN n2s qn ON qn.id = s.q_id
+                 JOIN n2s cn ON cn.id = s.n_id),
+          rranked AS (SELECT q_id, n_id, d2,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY d2 ASC, n_id ASC) AS rank
+                      FROM rr)
+          SELECT q_id, rank, n_id, round(d2, 4) AS d2
+          FROM rranked WHERE rank <= 10"""
   )
 }

@@ -586,4 +586,38 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("est"), 4).as("est"))
   }
+
+  /** ADC + exact rerank — the standard PQ serving recipe: the compressed
+    * scan shortlists `rerank·k` candidates per query (8 LUT lookups per
+    * corpus vector), then ONLY the shortlist pays a raw-vector fetch +
+    * exact distance. At 10⁹ vectors that is 10⁹ byte-code lookups plus
+    * `rerank·k·nQueries` full dots — the raw vectors can stay on disk
+    * (parquet column) because the join touches `rerank·k` rows per
+    * query, not the corpus. Output: exact squared euclidean distance,
+    * ascending. */
+  def pqAdcRerankTopK(emb: DataFrame, id: Column, vec: Column,
+                      m: Int, dsub: Int, codebook: DataFrame,
+                      nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    ensureRegistered(emb)
+    val shortlist = pqAdcTopK(emb, id, vec, m, dsub, codebook,
+        nQueries, k * rerank)
+      .select(col("q_id"), col("n_id"))
+    val base = emb.select(id.as("id"),
+      transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("n2", norm2(col("v")))
+    val q = base.where(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("n2").as("q_n2"))
+    val scored = shortlist
+      .join(base, shortlist("n_id") === base("id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("q_n2") + col("n2") - lit(2.0) * dot(col("q_v"), col("v")))
+          .as("d2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("d2"), 4).as("d2"))
+  }
 }

@@ -290,6 +290,12 @@ class SimilaritySpec extends AnyFunSuite {
     // euclidean ADC vs cosine exact agree on these planted clusters
     assert(Similarity.meanRecallAtK(adc, exact, 7) >= 0.85,
       "ADC must recover planted-cluster neighbours")
+    // exact rerank of the ADC shortlist can only improve recall
+    val rr = Similarity.pqAdcRerankTopK(data, col("vec_id"), col("embedding"),
+      2, 2, trained, nQueries = 4, k = 7, rerank = 3)
+    assert(Similarity.meanRecallAtK(rr, exact, 7) >=
+      Similarity.meanRecallAtK(adc, exact, 7),
+      "rerank must not lose recall vs the raw ADC ranking")
   }
 
   test("recall@k: exact vs itself = 1; missing queries count as 0") {
