@@ -40,41 +40,6 @@ object DiagQ76 {
     spark.stop()
   }
 
-  private def renderLines(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val devId = concat(lit("kit"), col("user_id"))
-    val port = (col("event_id") % 3 + 2).cast("int")
-    val counter = col("event_id") % 1000
-    val iso = date_format(date_trunc("second", col("ts")),
-      "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    val payloadB64 = base64(devId.cast("binary"))
-    def rssi(i: Int) = -(lit(50) + (col("event_id") + lit(13 * i)) % 70)
-    def snr(i: Int) = (col("event_id") + lit(7 * i)) % 20 - 10
-    def gwV2(i: Int) = concat(
-      lit(s"""{"gtw_id":"gw$i","rssi":"""), rssi(i),
-      lit(""","snr":"""), snr(i), lit("}"))
-    def gwV3(i: Int) = concat(
-      lit(s"""{"gateway_ids":{"gateway_id":"gw$i"},"rssi":"""), rssi(i),
-      lit(""","snr":"""), snr(i), lit("}"))
-    def gwList(gw: Int => Column) = concat_ws(",", gw(0),
-      when(col("event_id") % 3 >= 1, gw(1)),
-      when(col("event_id") % 3 === 2, gw(2)))
-    val v2 = concat(
-      lit("""{"app_id":"app1","dev_id":""""), devId,
-      lit("""","port":"""), port,
-      lit(""","counter":"""), counter,
-      lit(""","payload_raw":""""), payloadB64,
-      lit("""","metadata":{"time":""""), iso,
-      lit("""","gateways":["""), gwList(gwV2), lit("]}}"))
-    val v3 = concat(
-      lit("""{"end_device_ids":{"device_id":""""), devId,
-      lit("""","application_ids":{"application_id":"app1"}},"received_at":""""), iso,
-      lit("""","uplink_message":{"f_port":"""), port,
-      lit(""","f_cnt":"""), counter,
-      lit(""","frm_payload":""""), payloadB64,
-      lit("""","rx_metadata":["""), gwList(gwV3), lit("]}}"))
-    e.select(concat(
-      lit("devices/"), col("event_id"), lit(" "),
-      when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))
-  }
+  private def renderLines(s: SparkSession, d: String): DataFrame =
+    SparkEntry.ttnFixtureLines(Tables.events(s, d))
 }

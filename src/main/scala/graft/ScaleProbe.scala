@@ -210,7 +210,7 @@ object ScaleProbe {
     // embeddings are the uniform floor case; the clustered corpus is
     // where codebook TRAINING must pay off (first-K codebooks only see
     // cluster 0's slices).
-    def exactL2(df: org.apache.spark.sql.DataFrame, nV: Int): org.apache.spark.sql.DataFrame = {
+    def exactL2(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val base = df.select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("n2", operators.Similarity.norm2(col("v")))
@@ -225,7 +225,7 @@ object ScaleProbe {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("n_id"), col("est"))
     }
-    val exactL2Real = exactL2(emb, n.toInt).cache(); exactL2Real.count()
+    val exactL2Real = exactL2(emb).cache(); exactL2Real.count()
     for ((cbName, cb) <- Seq(
         "first16" -> operators.Similarity.pqCodebookFirstK(
           emb, col("vec_id").cast("long"), col("embedding"), 8, 8, 16),
@@ -278,7 +278,7 @@ object ScaleProbe {
         "trained" -> operators.Similarity.pqCodebooksTrained(
           clustered, col("vec_id"), col("embedding"), 8, 4, 16, 8))) {
       val (err, s) = time(meanQErr(clustered, 8, 4, cb))
-      println(s"""{"probe":"ann","method":"pq_qerr_clustered","codebook":"$cbName","m":8,"ksub":16,"n":8192,"sum_qerr":${math.rint(err * 100) / 100},"s":$s}""")
+      println(s"""{"probe":"ann","method":"pq_qerr_clustered","codebook":"$cbName","m":8,"ksub":16,"n":8192,"mean_qerr":${math.rint(err * 100) / 100},"s":$s}""")
     }
   }
 

@@ -23,6 +23,56 @@ object SparkEntry {
 
   /** Epoch seconds (floor) of a (possibly NTZ) timestamp column. */
   private def eS(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** The q76 envelope fixture: events rows rendered as real V2/V3 TTN
+    * JSON lines (alternating by event_id). Rendered as pure `concat`
+    * string building, NOT to_json(struct(...)): the struct/HOF form put
+    * the whole render Project on the CodegenFallback path (ArrayTransform
+    * and slice-of-struct-array are interpreted) and made q76 the slowest
+    * query of the sf1 sweep (20.7 s); the concat chain is whole-stage-
+    * codegen'd. from_json parses JSON numbers to the same doubles either
+    * way — only parsed VALUES are on the hash path. Gateway i: integral
+    * snr/rssi derived from event_id; score gaps are ≥ 60 − 13.8 so the
+    * argmax is tie-free by construction. Shared with `DiagQ76` so the
+    * stage-breakdown diagnostic always times THIS expression. */
+  private[graft] def ttnFixtureLines(e: DataFrame): DataFrame = {
+    val devId = concat(lit("kit"), col("user_id"))
+    val port = (col("event_id") % 3 + 2).cast("int")
+    val counter = col("event_id") % 1000
+    val iso = date_format(date_trunc("second", col("ts")),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val payloadB64 = base64(devId.cast("binary"))
+    def rssi(i: Int) = -(lit(50) + (col("event_id") + lit(13 * i)) % 70)
+    def snr(i: Int) = (col("event_id") + lit(7 * i)) % 20 - 10
+    def gwV2(i: Int) = concat(
+      lit(s"""{"gtw_id":"gw$i","rssi":"""), rssi(i),
+      lit(""","snr":"""), snr(i), lit("}"))
+    def gwV3(i: Int) = concat(
+      lit(s"""{"gateway_ids":{"gateway_id":"gw$i"},"rssi":"""), rssi(i),
+      lit(""","snr":"""), snr(i), lit("}"))
+    // nGw = event_id % 3 + 1 ∈ {1,2,3}; concat_ws drops the null
+    // branches so the array literal holds exactly the first nGw entries
+    def gwList(gw: Int => Column) = concat_ws(",", gw(0),
+      when(col("event_id") % 3 >= 1, gw(1)),
+      when(col("event_id") % 3 === 2, gw(2)))
+    val v2 = concat(
+      lit("""{"app_id":"app1","dev_id":""""), devId,
+      lit("""","port":"""), port,
+      lit(""","counter":"""), counter,
+      lit(""","payload_raw":""""), payloadB64,
+      lit("""","metadata":{"time":""""), iso,
+      lit("""","gateways":["""), gwList(gwV2), lit("]}}"))
+    val v3 = concat(
+      lit("""{"end_device_ids":{"device_id":""""), devId,
+      lit("""","application_ids":{"application_id":"app1"}},"received_at":""""), iso,
+      lit("""","uplink_message":{"f_port":"""), port,
+      lit(""","f_cnt":"""), counter,
+      lit(""","frm_payload":""""), payloadB64,
+      lit("""","rx_metadata":["""), gwList(gwV3), lit("]}}"))
+    e.select(concat(
+      lit("devices/"), col("event_id"), lit(" "),
+      when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))
+  }
   /** Epoch microseconds of a (possibly NTZ) timestamp column. */
   private def eUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
@@ -901,52 +951,7 @@ object SparkEntry {
     // per-event synthetic gateway list. The oracle states the closed
     // form of every output directly from events.
     "q76_ttn_envelope" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val devId = concat(lit("kit"), col("user_id"))
-      val port = (col("event_id") % 3 + 2).cast("int")
-      val counter = col("event_id") % 1000
-      val iso = date_format(date_trunc("second", col("ts")),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'")
-      val payloadB64 = base64(devId.cast("binary"))
-      // Gateway i: integral snr/rssi derived from event_id; score gaps
-      // are ≥ 60 − 13.8 so the argmax is tie-free by construction.
-      // The envelope fixture is rendered as pure `concat` string
-      // building, NOT to_json(struct(...)): the struct/HOF form put the
-      // whole render Project on the CodegenFallback path (ArrayTransform
-      // and slice-of-struct-array are interpreted) and made q76 the
-      // slowest query of the sf1 sweep (20.7 s); the concat chain is
-      // whole-stage-codegen'd. from_json parses JSON numbers to the same
-      // doubles either way — only parsed VALUES are on the hash path.
-      def rssi(i: Int) = -(lit(50) + (col("event_id") + lit(13 * i)) % 70)
-      def snr(i: Int) = (col("event_id") + lit(7 * i)) % 20 - 10
-      def gwV2(i: Int) = concat(
-        lit(s"""{"gtw_id":"gw$i","rssi":"""), rssi(i),
-        lit(""","snr":"""), snr(i), lit("}"))
-      def gwV3(i: Int) = concat(
-        lit(s"""{"gateway_ids":{"gateway_id":"gw$i"},"rssi":"""), rssi(i),
-        lit(""","snr":"""), snr(i), lit("}"))
-      // nGw = event_id % 3 + 1 ∈ {1,2,3}; concat_ws drops the null
-      // branches so the array literal holds exactly the first nGw entries
-      def gwList(gw: Int => Column) = concat_ws(",", gw(0),
-        when(col("event_id") % 3 >= 1, gw(1)),
-        when(col("event_id") % 3 === 2, gw(2)))
-      val v2 = concat(
-        lit("""{"app_id":"app1","dev_id":""""), devId,
-        lit("""","port":"""), port,
-        lit(""","counter":"""), counter,
-        lit(""","payload_raw":""""), payloadB64,
-        lit("""","metadata":{"time":""""), iso,
-        lit("""","gateways":["""), gwList(gwV2), lit("]}}"))
-      val v3 = concat(
-        lit("""{"end_device_ids":{"device_id":""""), devId,
-        lit("""","application_ids":{"application_id":"app1"}},"received_at":""""), iso,
-        lit("""","uplink_message":{"f_port":"""), port,
-        lit(""","f_cnt":"""), counter,
-        lit(""","frm_payload":""""), payloadB64,
-        lit("""","rx_metadata":["""), gwList(gwV3), lit("]}}"))
-      val lines = e.select(concat(
-        lit("devices/"), col("event_id"), lit(" "),
-        when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))
+      val lines = ttnFixtureLines(Tables.events(s, d))
       graft.ingest.TtnEnvelope.parse(lines, col("line"))
         .select(col("topic"), col("app_id"), col("dev_id"),
           col("port"), col("counter"),

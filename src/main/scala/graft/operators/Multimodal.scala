@@ -86,9 +86,12 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(id.cast("long")).as[Long]
       .mapPartitions { it =>
-        // one writer per partition, not per row (plugin discovery amortized)
+        // one writer per partition, not per row (plugin discovery amortized);
+        // released at task end, not GC time
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
         it.map(i => MediaRecord(i, "image/png", syntheticPngWith(i, writer)))
       }
   }
@@ -112,6 +115,8 @@ object Multimodal {
       // through both into the error row.
       val pngReader =
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pngReader.dispose()))
       it.map { m =>
         // ImageIO.read returns null only when NO reader claims the bytes;
         // a recognized-but-corrupt blob (valid magic, truncated body)
@@ -304,6 +309,8 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.map { m =>
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(

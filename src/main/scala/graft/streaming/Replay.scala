@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -67,25 +67,15 @@ object Replay {
       floor(col("value") / 15).cast("double").as("value"),
       when(col("event_id") % 23 === 0, lit("v9gzzz"))
         .otherwise(lit("u1hu9z")).as("geohash"))
-    Seq("kit_in", "kit_ckpt", "kit_out", "kit_stage")
-      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
-    val inDir = Files.createDirectories(tmpRoot.resolve("kit_in"))
-    val bounds = corpus.agg(min(col("ts")), max(col("ts"))).head()
+    val corpusP = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = corpusP.agg(min(col("ts")), max(col("ts"))).head()
     val tMid = (bounds.getLong(0) + bounds.getLong(1)) / 2
     // stage each half as ONE parquet file with a controlled mtime so the
     // file source's oldest-first ordering replays them in event time
-    Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
-        ("replay-1.parquet", col("ts") > tMid, 2000000L)).foreach {
-      case (name, pred, mtime) =>
-        val stage = tmpRoot.resolve("kit_stage").toString + "/" + name
-        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(java.nio.file.Paths.get(stage))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = inDir.resolve(name)
-        Files.move(part, dest)
-        dest.toFile.setLastModified(mtime)
-    }
+    val inDir = stageReplayFiles("kit", corpusP,
+      Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
+          ("replay-1.parquet", col("ts") > tMid, 2000000L)))
+    corpusP.unpersist()
     val outDir = tmpRoot.resolve("kit_out").toString
     val q = KitState(
         spark.readStream.schema(corpus.schema)
@@ -163,31 +153,46 @@ object Replay {
     * kit_key = user_id % 100 (events kits fold onto the registry domain
     * at any MakeScale multiplier — replicas are new kits with the same
     * registry rows), active = s_suppkey % 3 ≠ 0. */
+  /** Stages `files` (name, row predicate, mtime) as single parquet files
+    * under `<prefix>_in`, mtime-ordered for the file source's
+    * oldest-first replay. Shared by every replay entry point; `corpus`
+    * is persisted for the duration so the N staged writes (+ any
+    * caller-side bounds action) scan the input once, not N+1 times —
+    * these replays are timed contract queries. */
+  private def stageReplayFiles(prefix: String, corpus: DataFrame,
+      files: Seq[(String, Column, Long)]): java.nio.file.Path = {
+    Seq(s"${prefix}_in", s"${prefix}_ckpt", s"${prefix}_out", s"${prefix}_stage")
+      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
+    val inDir = Files.createDirectories(tmpRoot.resolve(s"${prefix}_in"))
+    files.foreach { case (name, pred, mtime) =>
+      val stage = tmpRoot.resolve(s"${prefix}_stage").toString + "/" + name
+      corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val ls = Files.list(java.nio.file.Paths.get(stage))
+      val part = try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally ls.close()
+      val dest = inDir.resolve(name)
+      Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    inDir
+  }
+
   def replayStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Tables.events(spark, sfDir).select(
       col("event_id"), (col("user_id") % 100).as("kit_key"),
       unix_timestamp(col("ts")).as("ts"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = broadcast(Tables.supplier(spark, sfDir).select(
       col("s_suppkey").as("kit_key"),
       concat(lit("p"), col("s_nationkey")).as("project"),
       (col("s_suppkey") % 3 =!= 0).as("active")))
-    Seq("enrich_in", "enrich_ckpt", "enrich_out", "enrich_stage")
-      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
-    val inDir = Files.createDirectories(tmpRoot.resolve("enrich_in"))
     val bounds = corpus.agg(min(col("ts")), max(col("ts"))).head()
     val tMid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
-        ("replay-1.parquet", col("ts") > tMid, 2000000L)).foreach {
-      case (name, pred, mtime) =>
-        val stage = tmpRoot.resolve("enrich_stage").toString + "/" + name
-        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(java.nio.file.Paths.get(stage))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = inDir.resolve(name)
-        Files.move(part, dest)
-        dest.toFile.setLastModified(mtime)
-    }
+    val inDir = stageReplayFiles("enrich", corpus,
+      Seq(("replay-0.parquet", col("ts") <= tMid, 1000000L),
+          ("replay-1.parquet", col("ts") > tMid, 2000000L)))
+    corpus.unpersist()
     val outDir = tmpRoot.resolve("enrich_out").toString
     val q = spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -224,34 +229,45 @@ object Replay {
     *   emitted = {windows over even ∪ fresh | window_end ≤ W2}
     * (a file-2 row with window_end > W2 may merge, but its window is
     * never emitted — the terminal flush stops at W2 — so the closed form
-    * is exact either way). `delta` is chosen off the hour grid (37 min)
-    * so neither watermark ever ties a window boundary and the ≤/> edge
-    * semantics stay unambiguous. */
+    * is exact either way). `delta` sits off the hour grid (37 min), and
+    * because a watermark could still tie a window boundary on adversarial
+    * data (max even ts at exactly hh:37:00.000000), both watermarks are
+    * checked driver-side and the replay FAILS LOUDLY on a tie — Spark's
+    * ≤-vs-< edge choice would otherwise diverge from the oracle's `≤`
+    * silently (one window of hash mismatch on measure-zero data beats an
+    * unexplainable red gate). */
   def replayWatermarkAgg(spark: SparkSession, sfDir: String,
                          deltaMin: Int = 37, windowMin: Int = 60): DataFrame = {
     val corpus = Tables.events(spark, sfDir).select(
       col("event_id"), (col("user_id") % 20).as("kit"),
       col("ts").cast("timestamp").as("ts"), col("value"))
-    Seq("wm_in", "wm_ckpt", "wm_out", "wm_stage")
-      .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
-    val inDir = Files.createDirectories(tmpRoot.resolve("wm_in"))
-    val w1 = corpus.where(col("event_id") % 2 === 0)
-      .agg((max(col("ts")) - expr(s"INTERVAL $deltaMin MINUTES")).as("wm"))
-      .head().getAs[java.sql.Timestamp]("wm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val even = col("event_id") % 2 === 0
-    Seq(("replay-0.parquet", even, 1000000L),
-        ("replay-1.parquet", !even && col("ts") > lit(w1), 2000000L),
-        ("replay-2.parquet", !even && col("ts") <= lit(w1), 3000000L)).foreach {
-      case (name, pred, mtime) =>
-        val stage = tmpRoot.resolve("wm_stage").toString + "/" + name
-        corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(java.nio.file.Paths.get(stage))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = inDir.resolve(name)
-        Files.move(part, dest)
-        dest.toFile.setLastModified(mtime)
-    }
+    val maxes = corpus.agg(
+      max(when(even, col("ts"))).as("max_even"),
+      max(when(!even, col("ts"))).as("max_odd")).head()
+    val (maxEven, maxOdd) =
+      (maxes.getAs[java.sql.Timestamp](0), maxes.getAs[java.sql.Timestamp](1))
+    def minusDelta(t: java.sql.Timestamp): java.time.Instant =
+      t.toInstant.minusSeconds(deltaMin * 60L)
+    val w1Inst = minusDelta(maxEven)
+    val w1 = java.sql.Timestamp.from(w1Inst)
+    // W2 = max(even ∪ fresh odd) − delta; an odd max ≤ W1 is in the late
+    // file and cannot move the terminal watermark
+    val w2Inst = minusDelta(
+      if (maxOdd != null && maxOdd.toInstant.isAfter(w1Inst)
+          && maxOdd.after(maxEven)) maxOdd else maxEven)
+    def onGrid(i: java.time.Instant): Boolean =
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L) %
+        (windowMin * 60L * 1000000L) == 0L
+    require(!onGrid(w1Inst) && !onGrid(w2Inst),
+      s"watermark ties the $windowMin-min window grid (W1=$w1Inst, W2=$w2Inst): " +
+        "pick another deltaMin — edge semantics would be engine-defined")
+    val inDir = stageReplayFiles("wm", corpus,
+      Seq(("replay-0.parquet", even, 1000000L),
+          ("replay-1.parquet", !even && col("ts") > lit(w1), 2000000L),
+          ("replay-2.parquet", !even && col("ts") <= lit(w1), 3000000L)))
+    corpus.unpersist()
     val outDir = tmpRoot.resolve("wm_out").toString
     val q = spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
