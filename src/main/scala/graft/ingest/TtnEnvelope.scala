@@ -54,23 +54,41 @@ object TtnEnvelope {
   def gatewayScore(snr: Column, rssi: Column): Column =
     snr * 10.0 + rssi * 0.2
 
+  /** Normalized gateway frame element type ([[parse]]'s `gateways`). */
+  private val gwFrameType =
+    "array<struct<gtw_id:string,rssi:double,snr:double>>"
+
   /** Parse raw `topic JSON` lines into a normalized envelope frame:
     * (app_id, dev_id, port, counter, payload bytes, event ISO time,
     * gateways[], best_gateway, best_score). Works on a batch or
-    * streaming text DataFrame alike. */
+    * streaming text DataFrame alike.
+    *
+    * Gateway normalization is `GetArrayStructFields` + `arrays_zip` +
+    * a renaming cast — all whole-stage-codegen'd — rather than
+    * `transform(gws, g -> struct(...))`: higher-order functions evaluate
+    * their lambdas interpreted per element, and with three of them this
+    * Project was the +5.7 s stage of the sf1 DiagQ76 breakdown. Same for
+    * the best-gateway argmax: [[graft.plans.BestGateway]] is one codegen
+    * loop instead of `array_max(transform(...))`. */
   def parse(lines: DataFrame, lineCol: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(lines.sparkSession)
     val topic = substring_index(lineCol, " ", 1)
     val json = lineCol.substr(length(topic) + 2, length(lineCol))
     val parsed = lines.select(
       topic.as("topic"),
       from_json(json, envelopeSchema).as("e"))
     val v3 = col("e.uplink_message").isNotNull
-    val gws = when(v3, transform(col("e.uplink_message.rx_metadata"), g =>
-        struct(g.getField("gateway_ids").getField("gateway_id").as("gtw_id"),
-          g.getField("rssi").as("rssi"), g.getField("snr").as("snr"))))
-      .otherwise(transform(col("e.metadata.gateways"), g =>
-        struct(g.getField("gtw_id").as("gtw_id"),
-          g.getField("rssi").as("rssi"), g.getField("snr").as("snr"))))
+    // arrays_zip keeps positions aligned; the cast renames the zipped
+    // fields to the normalized (gtw_id, rssi, snr) frame.
+    val rx = col("e.uplink_message.rx_metadata")
+    val gwsV3 = arrays_zip(
+      rx.getField("gateway_ids").getField("gateway_id"),
+      rx.getField("rssi"), rx.getField("snr")).cast(gwFrameType)
+    val mg = col("e.metadata.gateways")
+    val gwsV2 = arrays_zip(
+      mg.getField("gtw_id"), mg.getField("rssi"), mg.getField("snr"))
+      .cast(gwFrameType)
+    val gws = when(v3, gwsV3).otherwise(gwsV2)
     parsed.select(
       col("topic"),
       coalesce(col("e.end_device_ids.application_ids.application_id"),
@@ -82,10 +100,9 @@ object TtnEnvelope {
         col("e.payload_raw"))).as("payload"),
       coalesce(col("e.metadata.time"), col("e.received_at")).as("event_time"),
       gws.as("gateways"))
-      // D5 best gateway: max (score, id) struct — deterministic argmax.
-      .withColumn("best", array_max(transform(col("gateways"), g =>
-        struct(gatewayScore(g.getField("snr"), g.getField("rssi")).as("score"),
-          g.getField("gtw_id").as("gtw_id")))))
+      // D5 best gateway: max (score, id) struct — deterministic argmax,
+      // one codegen'd loop (see scaladoc above).
+      .withColumn("best", call_function("best_gateway", col("gateways")))
       .withColumn("best_gateway", col("best.gtw_id"))
       .withColumn("best_score", round(col("best.score"), 2))
       .drop("best")

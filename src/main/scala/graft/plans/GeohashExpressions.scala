@@ -100,7 +100,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => GeohashDecodeLon(Cast(es.head, StringType))),
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<float|double>, array<float|double>)"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("best_gateway"),
+      info("best_gateway", "best_gateway(array<struct<gtw_id,rssi,snr>>)"),
+      (es: Seq[Expression]) => BestGateway(es.head)))
 
   /** Imperative registration on an existing session — idempotent AND
     * quiet: skips functions already present (re-registering logs a
