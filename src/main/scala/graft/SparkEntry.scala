@@ -1320,7 +1320,16 @@ object SparkEntry {
         col("vec_id").cast("long"), col("embedding"), 8, 8, 16)
       Similarity.pqAdcRerankTopK(e, col("vec_id").cast("long"),
         col("embedding"), 8, 8, cb, nQueries = 5, k = 10, rerank = 4)
-    })
+    }),
+
+    // Q97 — streaming dedup with BOUNDED state (§2.9 U1's streaming
+    // variant): dropDuplicatesWithinWatermark replayed over three staged
+    // micro-batches; id-class pairing (adjacent / 512-id-lagged /
+    // partnerless keys) makes every fate (emit / duplicate-drop /
+    // expired-state re-emit / late-drop) a closed form of the data — see
+    // Replay.replayDedupWithinWatermark.
+    "q97_stream_dedup" -> ((s, d) =>
+      graft.streaming.Replay.replayDedupWithinWatermark(s, d))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2900,6 +2909,40 @@ object SparkEntry {
                                ORDER BY d2 ASC, n_id ASC) AS rank
                       FROM rr)
           SELECT q_id, rank, n_id, round(d2, 4) AS d2
-          FROM rranked WHERE rank <= 10"""
+          FROM rranked WHERE rank <= 10""",
+
+    // q97: the bounded-state dedup state machine in closed form — every
+    // even row emits (batch 0, empty state); batch 1 (class-1 fresh)
+    // drops entirely against still-present state (eviction is
+    // end-of-batch, the measured finding in Replay's scaladoc) and its
+    // cleanup evicts even keys with ts + delay < W1; a batch-2 row
+    // (class-3/5/7, ts > W2) emits iff its partner was evicted or never
+    // existed; batch 3 is entirely late. delay = 41 min; tie conditions
+    // are guarded driver-side (replay fails loudly).
+    "q97_stream_dedup" ->
+      """WITH src AS (SELECT event_id,
+                 CASE WHEN event_id % 2 = 0 THEN event_id // 2
+                      WHEN event_id % 8 = 1 THEN event_id // 2
+                      WHEN event_id % 8 = 5 THEN event_id // 2 - 256
+                      ELSE -(event_id // 2) - 257 END AS key,
+                 ts, value FROM events),
+          ev AS (SELECT * FROM src WHERE event_id % 2 = 0),
+          w1 AS (SELECT max(ts) - INTERVAL 41 MINUTE AS wm FROM ev),
+          f1 AS (SELECT s.* FROM src s, w1
+                 WHERE s.event_id % 8 = 1 AND s.ts > w1.wm),
+          w2 AS (SELECT max(ts) - INTERVAL 41 MINUTE AS wm FROM
+                   (SELECT ts FROM ev UNION ALL SELECT ts FROM f1)),
+          f2 AS (SELECT s.* FROM src s, w2
+                 WHERE s.event_id % 2 = 1 AND s.event_id % 8 <> 1
+                   AND s.ts > w2.wm),
+          evicted AS (SELECT e.key FROM ev e, w1
+                      WHERE e.ts + INTERVAL 41 MINUTE < w1.wm),
+          outp AS (SELECT event_id, key, ts, value FROM ev
+                   UNION ALL
+                   SELECT f.event_id, f.key, f.ts, f.value FROM f2 f
+                   WHERE f.key IN (SELECT key FROM evicted)
+                      OR f.key NOT IN (SELECT key FROM ev))
+          SELECT event_id, key, epoch_us(ts)//1000000 AS ts, value
+          FROM outp"""
   )
 }

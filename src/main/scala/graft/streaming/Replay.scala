@@ -236,6 +236,126 @@ object Replay {
     * ≤-vs-< edge choice would otherwise diverge from the oracle's `≤`
     * silently (one window of hash mismatch on measure-zero data beats an
     * unexplainable red gate). */
+  /** §2.9 U1's STREAMING variant — `dropDuplicatesWithinWatermark` over
+    * REAL micro-batch boundaries, every row fate deterministic in closed
+    * form (q97). This is the dedup shape a 100 TB ingest actually runs:
+    * bounded state (entries expire `delay` past their event time), not
+    * the unbounded `dropDuplicates` map.
+    *
+    * State-machine finding baked into the design (measured on this
+    * engine, first replay attempt): during batch N the dedup lookup
+    * drops a duplicate against ANY state entry present — including one
+    * whose expiry already passed batch N's watermark. Eviction is an
+    * end-of-batch cleanup using that batch's own watermark, so a key
+    * only re-emits when it re-arrives a full batch AFTER the batch whose
+    * watermark passed its expiry. A three-file split therefore cannot
+    * exercise re-emit at all; this replay stages FOUR files.
+    *
+    * Corpus trick: every even row keys its own pair cell
+    * (key = event_id DIV 2); odd rows pair into even cells by id class,
+    * so no key ever has two rows in one file and within-batch dedup
+    * order can never pick different winners:
+    *
+    *   id % 8 == 1 → key = id DIV 2        (adjacent even partner)
+    *   id % 8 == 5 → key = id DIV 2 − 256  (partner 512 ids older)
+    *   id % 8 ∈ {3,7} → key = −(id DIV 2) − 257  (no partner)
+    *
+    * The classes are collision-free by residue arithmetic: a lagged key
+    * equals an adjacent key only at id distance 512 ≡ 0 (mod 8), which
+    * maps class 5 onto class 5, never onto class 1; negative keys sit
+    * below −257 while lagged keys stay above −256. The four files:
+    *
+    *   file 0: even rows            — state empty, wm 0: all EMIT
+    *   file 1: class-1, ts > W1     — at wm W1: state present → DROP
+    *                                  (even the logically-expired
+    *                                  entries — the finding above);
+    *                                  end-of-batch cleanup then evicts
+    *                                  every even key with
+    *                                  ts + delay < W1
+    *   file 2: class-3/5/7, ts > W2 — at wm W2: evicted partner →
+    *                                  RE-EMIT, surviving young partner
+    *                                  → DROP, no partner → EMIT
+    *   file 3: all remaining odd    — at wm W3 ≥ W2 ≥ W1: every row is
+    *                                  LATE → dropped before dedup
+    *
+    * with W1 = max(even ts) − delay, W2 = max(even ∪ f1 ts) − delay,
+    * W3 = max(even ∪ f1 ∪ f2 ts) − delay. Output is then a pure
+    * function of the data: all evens, plus file-2 rows whose partner
+    * was evicted or never existed. (Which fate each class lands in
+    * shifts with corpus cadence — at very dense cadence the 512-id lag
+    * sits inside the dedup horizon and the lagged class drops — but the
+    * closed form prices each row by its partner's actual event time, so
+    * the oracle is exact at every scale; all-fates coverage at the
+    * driver's sf0.01/sf0.1 is asserted in StreamingSpec.)
+    * Exactly two occurrences per key ever arrive, so whether a duplicate
+    * extends its key's expiry is unobservable — the closed form needs no
+    * answer to that engine-internal question. Ties between a watermark
+    * and an expiry/event instant WOULD be engine-defined (≤ vs <), so
+    * the two measure-zero tie conditions are checked driver-side and the
+    * replay fails loudly (q94 stance): no even ts == max_even − 2·delay
+    * (expiry-vs-W1) and no odd ts == W2 (late-vs-W2, only reachable when
+    * W2 == W1). */
+  def replayDedupWithinWatermark(spark: SparkSession, sfDir: String,
+                                 delayMin: Int = 41): DataFrame = {
+    val corpus = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      when(col("event_id") % 2 === 0, expr("event_id DIV 2"))
+        .when(col("event_id") % 8 === 1, expr("event_id DIV 2"))
+        .when(col("event_id") % 8 === 5, expr("event_id DIV 2") - 256)
+        .otherwise(-expr("event_id DIV 2") - 257).as("key"),
+      col("ts").cast("timestamp").as("ts"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val even = col("event_id") % 2 === 0
+    val class1 = col("event_id") % 8 === 1
+    val delayS = delayMin * 60L
+    def minusDelay(t: java.sql.Timestamp, n: Long) =
+      java.sql.Timestamp.from(t.toInstant.minusSeconds(n))
+    def later(a: java.sql.Timestamp, b: java.sql.Timestamp) =
+      if (b != null && b.after(a)) b else a
+    val maxEven = corpus.agg(max(when(even, col("ts")))).head()
+      .getAs[java.sql.Timestamp](0)
+    val w1 = minusDelay(maxEven, delayS)
+    val f1Pred = !even && class1 && col("ts") > lit(w1)
+    val maxF1 = corpus.agg(max(when(f1Pred, col("ts")))).head()
+      .getAs[java.sql.Timestamp](0)
+    val base2 = later(maxEven, maxF1)
+    val w2 = minusDelay(base2, delayS)
+    val f2Pred = !even && !class1 && col("ts") > lit(w2)
+    val maxF2 = corpus.agg(max(when(f2Pred, col("ts")))).head()
+      .getAs[java.sql.Timestamp](0)
+    val w3 = minusDelay(later(base2, maxF2), delayS)
+    val evictTie = minusDelay(maxEven, 2 * delayS)
+    val ties = corpus.agg(
+      sum(when(even && col("ts") === lit(evictTie), 1L)).as("t1"),
+      sum(when(!even && col("ts") === lit(w3), 1L)).as("t2")).head()
+    require(ties.isNullAt(0) || ties.getLong(0) == 0L,
+      s"even event time at max_even - 2*delay ($evictTie): expiry would tie W1 — " +
+        "pick another delayMin, edge semantics would be engine-defined")
+    require(ties.isNullAt(1) || ties.getLong(1) == 0L,
+      s"odd event time at W3 ($w3): late-drop would tie the watermark — " +
+        "pick another delayMin, edge semantics would be engine-defined")
+    val inDir = stageReplayFiles("dedup", corpus,
+      Seq(("replay-0.parquet", even, 1000000L),
+          ("replay-1.parquet", f1Pred, 2000000L),
+          ("replay-2.parquet", f2Pred, 3000000L),
+          ("replay-3.parquet", !even && !f1Pred && !f2Pred, 4000000L)))
+    corpus.unpersist()
+    val outDir = tmpRoot.resolve("dedup_out").toString
+    val q = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .withWatermark("ts", s"$delayMin minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .select(col("event_id"), col("key"),
+        unix_timestamp(col("ts")).as("ts"), col("value"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpRoot.resolve("dedup_ckpt").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   def replayWatermarkAgg(spark: SparkSession, sfDir: String,
                          deltaMin: Int = 37, windowMin: Int = 60): DataFrame = {
     val corpus = Tables.events(spark, sfDir).select(

@@ -426,4 +426,39 @@ class StreamingSpec extends AnyFunSuite {
     val b = Multimodal.sampleVideoFrames(bad, 2).collect().head
     assert(b.width == -1 && b.n_frames == 0)
   }
+
+  test("q97 dedup-within-watermark replay exercises every fate (U1 streaming)") {
+    // The q97 oracle would pass vacuously if a pairing class stopped
+    // landing rows in its intended fate (the three-file first cut
+    // hash-matched with ZERO re-emits — that's how the end-of-batch
+    // eviction finding was caught). Assert the sf0.01 corpus covers:
+    // duplicate-drop (a class-1 fresh row vanishes), expired-state
+    // re-emit and no-partner emit (class-5 / class-3/7 rows present
+    // beyond the evens), and late-drop (odd rows absent).
+    val sf = "/root/testdata/sf0.01"
+    val out = Replay.replayDedupWithinWatermark(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEven = out.where(col("event_id") % 2 === 0).count()
+    val emitted5 = out.where(col("event_id") % 8 === 5).count()   // re-emit
+    val emitted37 = out.where(col("event_id") % 8 === 3 ||
+      col("event_id") % 8 === 7).count()                          // no partner
+    val emitted1 = out.where(col("event_id") % 8 === 1).count()
+    val ev = graft.Tables.events(spark, sf)
+    val nOddTotal = ev.where(col("event_id") % 2 === 1).count()
+    // duplicate-drop is only exercised if file 1 was non-empty: count the
+    // class-1 rows fresher than W1 = max(even ts) − 41 min directly.
+    val maxEven = ev.where(col("event_id") % 2 === 0)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val w1 = java.sql.Timestamp.from(maxEven.toInstant.minusSeconds(41 * 60L))
+    val nF1 = ev.where(col("event_id") % 8 === 1 &&
+      col("ts").cast("timestamp") > lit(w1)).count()
+    out.unpersist()
+    assert(nEven == 5000, s"every even row must emit, got $nEven")
+    assert(emitted5 > 0, "expired-state re-emit fate not exercised")
+    assert(emitted37 > 0, "no-partner emit fate not exercised")
+    assert(nF1 > 0 && emitted1 == 0,
+      s"duplicate-drop fate: $nF1 fresh class-1 rows must ALL drop, $emitted1 emitted")
+    assert(emitted5 + emitted37 < nOddTotal,
+      "late-drop fate not exercised (all odd rows emitted)")
+  }
 }
