@@ -1329,7 +1329,22 @@ object SparkEntry {
     // expired-state re-emit / late-drop) a closed form of the data — see
     // Replay.replayDedupWithinWatermark.
     "q97_stream_dedup" -> ((s, d) =>
-      graft.streaming.Replay.replayDedupWithinWatermark(s, d))
+      graft.streaming.Replay.replayDedupWithinWatermark(s, d)),
+
+    // Q98 — IVF-PQ (IVFADC): coarse cells shard the corpus (a probe
+    // touches nprobe/kCoarse of it), PQ codes quantize the RESIDUAL
+    // v − centroid so the 8-byte budget spends itself near 0, and each
+    // (query, probed cell) builds its own residual LUT — the composed
+    // billion-vector serving shape. First-8 centroids + first-16
+    // residual codebooks keep the whole pipeline oracle-shareable
+    // (q56/q95 stance).
+    "q98_ivfpq_adc" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqAdcTopK(e, col("vec_id").cast("long"),
+        col("embedding"), kCoarse = 8, nprobe = 2, m = 8, dsub = 8,
+        ksub = 16, nQueries = 5, k = 10)
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -2943,6 +2958,73 @@ object SparkEntry {
                    WHERE f.key IN (SELECT key FROM evicted)
                       OR f.key NOT IN (SELECT key FROM ev))
           SELECT event_id, key, epoch_us(ts)//1000000 AS ts, value
-          FROM outp"""
+          FROM outp""",
+
+    // q98: the IVF-PQ pipeline in closed form — first-8 coarse argmin
+    // assign (q56 pattern), element-wise double residuals, first-16
+    // residual codebooks + argmin encode (q95 pattern), per-(query,
+    // probed-cell) residual LUTs, decimal-exact ADC sums, top-10
+    // ascending.
+    "q98_ivfpq_adc" ->
+      s"""WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                          FROM embeddings),
+          cents AS (SELECT id AS c_id, v AS c_v,
+                           ${Similarity.dotSql("v", "v")} AS c_n2
+                    FROM corpus WHERE id < 8),
+          asgn AS (SELECT c.id, c.v, ct.c_id AS cell, ct.c_v AS cell_v
+                   FROM corpus c CROSS JOIN cents ct
+                   QUALIFY row_number() OVER (PARTITION BY c.id ORDER BY
+                     ct.c_n2 - 2.0 * ${Similarity.dotSql("c.v", "ct.c_v")},
+                     ct.c_id) = 1),
+          resid AS (SELECT id, cell,
+                           list_transform(range(1, 65), i ->
+                             CAST(v[i] AS DOUBLE) - CAST(cell_v[i] AS DOUBLE))
+                             AS res
+                    FROM asgn),
+          subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+          rslices AS (SELECT r.id, r.cell, s.sub,
+                             list_slice(r.res, s.sub*8 + 1, s.sub*8 + 8) AS sv
+                      FROM resid r, subs s),
+          cb AS (SELECT sub, CAST(id AS INT) AS code, sv AS cb_v,
+                        ${Similarity.dotSql("sv", "sv")} AS cn2
+                 FROM rslices WHERE id < 16),
+          encd AS (SELECT sl.id, sl.cell, sl.sub, cb.code,
+                          (cb.cn2 - 2.0 * ${Similarity.dotSql("sl.sv", "cb.cb_v")}) AS d
+                   FROM rslices sl JOIN cb USING (sub)),
+          bestd AS (SELECT id, sub, min(d) AS md FROM encd GROUP BY 1, 2),
+          codes AS (SELECT e.id, any_value(e.cell) AS cell, e.sub,
+                           min(e.code) AS code
+                    FROM encd e JOIN bestd b
+                      ON e.id = b.id AND e.sub = b.sub AND e.d = b.md
+                    GROUP BY e.id, e.sub),
+          qprobe AS (SELECT q.id AS q_id, q.v AS q_v, ct.c_id AS q_cell,
+                            ct.c_v AS probe_v
+                     FROM corpus q CROSS JOIN cents ct
+                     WHERE q.id < 5
+                     QUALIFY row_number() OVER (PARTITION BY q.id ORDER BY
+                       ct.c_n2 - 2.0 * ${Similarity.dotSql("q.v", "ct.c_v")},
+                       ct.c_id) <= 2),
+          qres AS (SELECT q_id, q_cell,
+                          list_transform(range(1, 65), i ->
+                            CAST(q_v[i] AS DOUBLE) - CAST(probe_v[i] AS DOUBLE))
+                            AS res
+                   FROM qprobe),
+          qslices AS (SELECT r.q_id, r.q_cell, s.sub,
+                             list_slice(r.res, s.sub*8 + 1, s.sub*8 + 8) AS sv
+                      FROM qres r, subs s),
+          lut AS (SELECT sl.q_id, sl.q_cell, sl.sub, cb.code,
+                         CAST(${Similarity.dotSql("sl.sv", "sl.sv")} + cb.cn2 -
+                              2.0 * ${Similarity.dotSql("sl.sv", "cb.cb_v")}
+                              AS DECIMAL(27,10)) AS pd
+                  FROM qslices sl JOIN cb USING (sub)),
+          adc AS (SELECT l.q_id, c.id AS n_id,
+                         CAST(sum(l.pd) AS DOUBLE) AS est
+                  FROM codes c JOIN lut l
+                    ON c.cell = l.q_cell AND c.sub = l.sub AND c.code = l.code
+                  WHERE c.id <> l.q_id GROUP BY 1, 2)
+          SELECT q_id, rank, n_id, round(est, 4) AS est FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY est ASC, n_id ASC) AS rank FROM adc)
+          WHERE rank <= 10"""
   )
 }

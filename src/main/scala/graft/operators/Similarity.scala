@@ -587,6 +587,87 @@ object Similarity {
         round(col("est"), 4).as("est"))
   }
 
+  /** IVF-PQ (IVFADC, Jégou/Douze/Schmid 2011 §IV): the composed
+    * billion-vector serving shape — a coarse quantizer shards the corpus
+    * into `kCoarse` cells (a probe touches `nprobe/kCoarse` of the
+    * data), and within each cell vectors are PQ codes of their RESIDUAL
+    * `v − centroid(cell)` (residuals concentrate near 0, so the same
+    * codebook budget quantizes far finer than raw-vector PQ). A query
+    * probes its `nprobe` nearest cells; per probed cell it builds the
+    * ADC LUT from its OWN residual `q − centroid(cell)`, so the coarse
+    * term needs no separate correction: `‖q − c − r̂‖² = Σ_sub
+    * ‖q_res,sub − r̂_sub‖²`.
+    *
+    * Scale shape: assignment + encode are corpus-linear broadcast joins
+    * (index build, offline); serving is one equi-join of byte codes
+    * against a broadcast `(q, probed-cell, sub, code)` LUT — never a
+    * full-dim dot against the corpus, never an all-pairs stage. The
+    * `zip_with` residual subtraction is interpreted (HOF) but sits in
+    * the offline encode path, off the per-query hot loop.
+    *
+    * First-`kCoarse` centroids + first-`ksub` residual codebooks keep
+    * every stage oracle-shareable (q98; same stance as q56/q95 — the
+    * trained path composes [[kmeansCentroids]] / [[pqCodebooksTrained]]
+    * on the same frames). Output mirrors [[pqAdcTopK]]: estimated
+    * squared euclidean distance, ascending, DECIMAL-summed so the hash
+    * is addition-order-independent. */
+  def ivfPqAdcTopK(emb: DataFrame, id: Column, vec: Column,
+                   kCoarse: Int, nprobe: Int, m: Int, dsub: Int, ksub: Int,
+                   nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
+    val cents = emb.select(id.as("c_id"),
+        transform(vec, x => x.cast("double")).as("c_v"))
+      .where(col("c_id") < kCoarse)
+      .withColumn("c_n2", dot(col("c_v"), col("c_v")))
+    val cells = ivfAssign(emb, id, vec, kCoarse) // (id, v, n2, cell)
+    val resid = cells.join(broadcast(cents), col("cell") === col("c_id"))
+      .select(col("id"), col("cell"),
+        zip_with(transform(col("v"), x => x.cast("double")), col("c_v"),
+          (a, b) => a - b).as("res"))
+    val cb = pqCodebookFirstK(resid, col("id"), col("res"), m, dsub, ksub)
+    val enc = pqEncode(resid, col("id"), col("res"), m, dsub, cb)
+      .join(cells.select(col("id"), col("cell")), Seq("id"))
+    // query side: nprobe nearest coarse cells, one residual LUT per
+    // (query, probed cell)
+    val qprobe = emb.where(id < nQueries)
+      .select(id.as("q_id"), transform(vec, x => x.cast("double")).as("q_v"))
+      .join(broadcast(cents))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy((col("c_n2") - lit(2.0) * dot(col("q_v"), col("c_v"))).asc,
+          col("c_id").asc)))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("c_id").as("q_cell"),
+        zip_with(col("q_v"), col("c_v"), (a, b) => a - b).as("q_res"))
+    val lut = qprobe.select(col("q_id"), col("q_cell"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"),
+            slice(col("q_res"), j * dsub + 1, dsub).as("sv"))
+        }: _*)).as("e"))
+      .select(col("q_id"), col("q_cell"),
+        col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
+        col("code").as("l_code"),
+        (dot(col("sv"), col("sv")) + col("cn2") -
+          lit(2.0) * dot(col("sv"), col("c_v")))
+          .cast("decimal(27,10)").as("pd"))
+    val scored = enc
+      .select(col("id").as("n_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut),
+        col("cell") === col("q_cell") && col("sub") === col("l_sub") &&
+          col("code") === col("l_code"))
+      .where(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pd")).cast("double").as("est"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("est").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("est"), 4).as("est"))
+  }
+
   /** ADC + exact rerank — the standard PQ serving recipe: the compressed
     * scan shortlists `rerank·k` candidates per query (8 LUT lookups per
     * corpus vector), then ONLY the shortlist pays a raw-vector fetch +

@@ -298,6 +298,57 @@ class SimilaritySpec extends AnyFunSuite {
       "rerank must not lose recall vs the raw ADC ranking")
   }
 
+  test("ivf-pq: cells align with planted clusters, results stay in-cluster, " +
+      "codebook-member estimates are exact") {
+    import spark.implicits._
+    // 8 orthogonal planted clusters (center c: 10.0 at dims 2c, 2c+1),
+    // cluster = id % 8 so the first-8 coarse centroids hit every cluster
+    // and the first-16 residual codebook carries one real residual per
+    // cluster (ids 0-7 are the centroids themselves — zero residuals).
+    val dim = 16
+    val data = (0L until 96L).map { i =>
+      val c = (i % 8).toInt
+      val v = Array.tabulate(dim) { j =>
+        val center = if (j == 2 * c || j == 2 * c + 1) 10.0 else 0.0
+        (center + ((i * 7 + j * 13) % 5 - 2) * 0.01).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqAdcTopK(data, col("vec_id"), col("embedding"),
+        kCoarse = 8, nprobe = 1, m = 4, dsub = 4, ksub = 16,
+        nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // shape: 10 queries × 5 ranks, est ascending, no self-pairs
+    assert(res.length == 50)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"ranks for q=$q")
+      val ests = rows.sortBy(_._2).map(_._4)
+      assert(ests.zip(ests.tail).forall { case (a, b) => a <= b },
+        s"est not ascending for q=$q")
+      assert(rows.forall(_._3 != q), s"self-pair for q=$q")
+      // nprobe=1 probes the query's own cluster cell: every neighbour
+      // shares the query's planted cluster
+      assert(rows.forall(_._3 % 8 == q % 8),
+        s"cross-cluster neighbour for q=$q: ${rows.mkString(",")}")
+    }
+    // ids 0-15 quantize losslessly (zero residual or their own codebook
+    // entry), so their ADC estimate IS the exact squared distance
+    val vecs = (0L until 96L).map { i =>
+      val c = (i % 8).toInt
+      i -> Array.tabulate(dim) { j =>
+        val center = if (j == 2 * c || j == 2 * c + 1) 10.0 else 0.0
+        (center + ((i * 7 + j * 13) % 5 - 2) * 0.01).toFloat.toDouble
+      }
+    }.toMap
+    val exactPairs = res.filter(_._3 < 16)
+    assert(exactPairs.nonEmpty, "no codebook-member pairs surfaced")
+    exactPairs.foreach { case (q, _, n, est) =>
+      val d2 = vecs(q).zip(vecs(n)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(est - d2) < 5e-4,
+        s"codebook-member estimate not exact: q=$q n=$n est=$est d2=$d2")
+    }
+  }
+
   test("recall@k: exact vs itself = 1; missing queries count as 0") {
     import spark.implicits._
     val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
