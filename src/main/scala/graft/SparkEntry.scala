@@ -1344,7 +1344,19 @@ object SparkEntry {
       Similarity.ivfPqAdcTopK(e, col("vec_id").cast("long"),
         col("embedding"), kCoarse = 8, nprobe = 2, m = 8, dsub = 8,
         ksub = 16, nQueries = 5, k = 10)
-    })
+    }),
+
+    // Q99 — gap-based sessionization (W-family): native session_window,
+    // maximal per-key runs with silence ≤ 12347 s (sized between the
+    // sf0.01 and sf0.1 per-user cadences so both corpora mix singleton
+    // and multi-row sessions); exact-gap diffs MERGE (measured boundary
+    // semantics, locked in WindowOpsSpec) — unlike the watermark
+    // replays, the edge needs no driver-side guard because BOTH engines
+    // encode the same `diff > gap` break. Oracle = gaps-and-islands.
+    "q99_session_windows" -> ((s, d) =>
+      WindowOps.sessionize(Tables.events(s, d), col("user_id"),
+          col("ts").cast("timestamp"), 12347, col("value"))
+        .withColumnRenamed("key", "user_id"))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -3025,6 +3037,28 @@ object SparkEntry {
           SELECT q_id, rank, n_id, round(est, 4) AS est FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
                         ORDER BY est ASC, n_id ASC) AS rank FROM adc)
-          WHERE rank <= 10"""
+          WHERE rank <= 10""",
+
+    // q99: gaps-and-islands with the measured `diff > gap` break (an
+    // exact-gap diff merges on both engines); session_end = last ts +
+    // gap, the half-open window bound session_window reports. The break
+    // scan runs over the DISTINCT (user, t) spine so duplicate
+    // timestamps can't split a session on window-order nondeterminism
+    // (equal ts always merge — diff 0 — so the spine loses nothing).
+    "q99_session_windows" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts)//1000000 AS t, value
+                    FROM events),
+          d AS (SELECT DISTINCT user_id, t FROM s),
+          m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 12347
+                          THEN 1 ELSE 0 END AS brk
+                FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+          SELECT s.user_id, min(s.t) AS session_start,
+                 max(s.t) + 12347 AS session_end, count(*) AS n,
+                 CAST(sum(CAST(s.value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM s JOIN g ON s.user_id = g.user_id AND s.t = g.t
+          GROUP BY s.user_id, g.sid"""
   )
 }

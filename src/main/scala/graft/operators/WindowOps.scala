@@ -127,4 +127,31 @@ object WindowOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy(keys: _*).orderBy(col("cnt").desc, value.asc)))
       .where(col("rn") === 1).drop("rn")
+
+  /** Gap-based sessionization via Spark's native `session_window` — the
+    * W-family member the fixed-grid windows (W5) can't express: a
+    * session is a maximal run of per-key events with no silence longer
+    * than `gapSec`; its window is `[min ts, last ts + gap)`. One shuffle
+    * on the key (the session merge is key-local), streaming-capable with
+    * a watermark unchanged.
+    *
+    * Boundary semantics, MEASURED on this engine and locked by spec: a
+    * gap of EXACTLY `gapSec` still merges (rows t and t+gap share a
+    * session — Spark merges on overlap of `[t, t+gap)` half-open
+    * windows, and the successor's window starts at the predecessor's
+    * end, which counts as overlapping); only a strictly larger gap
+    * breaks. The DuckDB twin is the classic gaps-and-islands form with
+    * the SAME `diff > gap` break predicate (q99).
+    *
+    * Sums go through DECIMAL so the hash is addition-order-independent.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapSec: Int,
+                 value: Column): DataFrame =
+    df.groupBy(session_window(ts, s"$gapSec seconds"), key.as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("decimal(18,6)")).cast("double").as("s"))
+      .select(col("key"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n"), col("s"))
 }

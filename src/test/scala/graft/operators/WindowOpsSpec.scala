@@ -50,4 +50,24 @@ class WindowOpsSpec extends AnyFunSuite {
       out(0).getAs[Long]("n_rows") == 4L, "null row neither splits nor counts")
     assert(out(1).getAs[Long]("seg_start") == 7L && out(1).getAs[Long]("seg_end") == 7L)
   }
+
+  test("sessionize: exact-gap diff merges, larger breaks — the q99 oracle contract") {
+    import spark.implicits._
+    // gap = 100 s: t=0→100 (diff == gap) must MERGE, t=100→201
+    // (diff = 101 > gap) must break; duplicate timestamps share a
+    // session; session_end = last ts + gap.
+    val rows = Seq(
+      ("A", 0L, 1.0), ("A", 100L, 2.0), ("A", 100L, 3.0), ("A", 201L, 4.0),
+      ("B", 50L, 5.0))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = WindowOps.sessionize(rows, col("k"), col("ts"), 100, col("v"))
+      .orderBy(col("key"), col("session_start"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 200L, 3L, 6.0),    // exact-gap merge + duplicate ts
+      ("A", 201L, 301L, 1L, 4.0),  // diff 101 breaks
+      ("B", 50L, 150L, 1L, 5.0)),
+      s"session boundary semantics drifted: ${out.mkString(", ")}")
+  }
 }
