@@ -19,7 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * with the same null semantics:
   *
   *   - null or empty array → null result;
-  *   - null ELEMENTS are skipped (array_max contract);
+  *   - null ELEMENTS are skipped. This is the ONE deliberate divergence
+  *     from the HOF: `transform` maps a null element to a NON-null
+  *     `struct(null, null)` (CreateNamedStruct is never null), so
+  *     `array_max` cannot skip it and an ALL-null-elements array yields
+  *     `struct(null, null)` from the HOF — BestGateway returns null
+  *     instead, which is the semantics the envelope path wants (no
+  *     gateway ⇒ no best gateway). For any array with at least one
+  *     non-null element the two agree exactly, because
+  *     `struct(null, null)` sorts below every element that carries a
+  *     non-null score or id (nulls-first struct ordering), so the
+  *     phantom struct never wins. Spec-locked by the all-null row in
+  *     GatewayExpressionsSpec;
   *   - a null score (null snr/rssi) orders below every non-null score,
   *     a null gtw_id below every non-null id (struct ordering, nulls
   *     first) — an all-null-score array still picks the largest gtw_id.

@@ -293,8 +293,8 @@ object Replay {
     * and an expiry/event instant WOULD be engine-defined (≤ vs <), so
     * the two measure-zero tie conditions are checked driver-side and the
     * replay fails loudly (q94 stance): no even ts == max_even − 2·delay
-    * (expiry-vs-W1) and no odd ts == W2 (late-vs-W2, only reachable when
-    * W2 == W1). */
+    * (expiry-vs-W1) and no odd ts == W3 (late-vs-W3 — file-3 rows are
+    * late-checked against the final watermark W3). */
   def replayDedupWithinWatermark(spark: SparkSession, sfDir: String,
                                  delayMin: Int = 41): DataFrame = {
     val corpus = Tables.events(spark, sfDir).select(

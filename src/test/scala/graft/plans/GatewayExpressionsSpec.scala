@@ -27,7 +27,8 @@ class GatewayExpressionsSpec extends AnyFunSuite {
     8L -> Seq(gw("a", null, null), gw("b", null, null)),    // all null scores → tie on id
     9L -> Seq(gw(null, -50.0, 5.0), gw("b", -50.0, 5.0)),   // null id loses the tie
     10L -> Seq(null, gw("b", -70.0, 2.0)),                  // null ELEMENT skipped
-    11L -> Seq(gw("gw1", -119.9, -10.0), gw("gw0", -119.8, -10.0)) // close scores
+    11L -> Seq(gw("gw1", -119.9, -10.0), gw("gw0", -119.8, -10.0)), // close scores
+    12L -> Seq(null)                                        // ALL elements null → documented divergence
   )
 
   private def frame() = {
@@ -43,10 +44,23 @@ class GatewayExpressionsSpec extends AnyFunSuite {
       g.getField("gtw_id").as("gtw_id"))))
 
   test("native best_gateway == array_max(transform(...)) on all edge rows") {
-    val df = frame().select(col("id"),
+    // Row 12 (ALL elements null) is the one documented divergence — the
+    // HOF's transform maps a null element to a non-null struct(null,null)
+    // so array_max cannot skip it; it is asserted separately below.
+    val df = frame().where(col("id") =!= 12L).select(col("id"),
       call_function("best_gateway", col("gws")).as("native"), hof.as("hof"))
     val bad = df.where(!(col("native") <=> col("hof"))).collect()
     assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+  }
+
+  test("all-null-elements array: native → null, HOF → struct(null,null)") {
+    val r = frame().where(col("id") === 12L).select(
+      call_function("best_gateway", col("gws")).as("native"), hof.as("hof"))
+      .collect().head
+    assert(r.isNullAt(0), "native must return null for an all-null-element array")
+    val h = r.getStruct(1)
+    assert(h != null && h.isNullAt(0) && h.isNullAt(1),
+      "HOF returns the phantom struct(null,null) — the documented divergence")
   }
 
   test("interpreted eval path matches codegen") {
@@ -59,8 +73,12 @@ class GatewayExpressionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val df = frame().select(col("id"),
         call_function("best_gateway", col("gws")).as("native"), hof.as("hof"))
-      val bad = df.where(!(col("native") <=> col("hof"))).collect()
+      val bad = df.where(col("id") =!= 12L)
+        .where(!(col("native") <=> col("hof"))).collect()
       assert(bad.isEmpty, s"interpreted mismatches: ${bad.mkString("; ")}")
+      // interpreted path honors the documented all-null divergence too
+      val r12 = df.where(col("id") === 12L).collect().head
+      assert(r12.isNullAt(1), "interpreted native must null out an all-null array")
     } finally {
       prevWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
         spark.conf.set("spark.sql.codegen.wholeStage", _))
