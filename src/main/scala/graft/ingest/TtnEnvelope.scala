@@ -63,14 +63,45 @@ object TtnEnvelope {
     * gateways[], best_gateway, best_score). Works on a batch or
     * streaming text DataFrame alike.
     *
-    * Gateway normalization is `GetArrayStructFields` + `arrays_zip` +
-    * a renaming cast — all whole-stage-codegen'd — rather than
-    * `transform(gws, g -> struct(...))`: higher-order functions evaluate
-    * their lambdas interpreted per element, and with three of them this
-    * Project was the +5.7 s stage of the sf1 DiagQ76 breakdown. Same for
-    * the best-gateway argmax: [[graft.plans.BestGateway]] is one codegen
-    * loop instead of `array_max(transform(...))`. */
+    * The envelope decode is [[graft.plans.TtnEnvelopeParse]] — a native
+    * single-pass byte-level parser ([[TtnFastJson]]) replacing
+    * `from_json(envelopeSchema)` + coalesce/arrays_zip navigation: the
+    * DiagQ76 sf1 stage breakdown priced the Jackson stage at ~9.6 s over
+    * 10 M envelopes EVEN with the parse schema pruned to one field
+    * (generic tokenization dominates, not schema width); the native scan
+    * extracts only the consumed subfields and runs inside whole-stage
+    * codegen as one static call. The old composition is kept as
+    * [[parseJackson]] and differential-fuzzed against the native path in
+    * TtnFastJsonSpec. Best-gateway argmax stays the codegen'd
+    * [[graft.plans.BestGateway]] loop. */
   def parse(lines: DataFrame, lineCol: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(lines.sparkSession)
+    val topic = substring_index(lineCol, " ", 1)
+    val json = lineCol.substr(length(topic) + 2, length(lineCol))
+    lines.select(
+      topic.as("topic"),
+      call_function("ttn_parse", json).as("e"))
+      .select(
+        col("topic"), col("e.app_id").as("app_id"),
+        col("e.dev_id").as("dev_id"), col("e.port").as("port"),
+        col("e.counter").as("counter"),
+        unbase64(col("e.payload_b64")).as("payload"),
+        col("e.event_time").as("event_time"),
+        col("e.gateways").as("gateways"))
+      // D5 best gateway: max (score, id) struct — deterministic argmax,
+      // one codegen'd loop (see scaladoc above).
+      .withColumn("best", call_function("best_gateway", col("gateways")))
+      .withColumn("best_gateway", col("best.gtw_id"))
+      .withColumn("best_score", round(col("best.score"), 2))
+      .drop("best")
+  }
+
+  /** The original `from_json` + struct-navigation composition — the
+    * reference semantics the native [[TtnFastJson]] parser must match;
+    * kept as the differential-fuzz oracle (TtnFastJsonSpec) and as the
+    * fallback a deployment could pin if it ever hit an envelope shape
+    * outside the fuzzed agreement domain. */
+  def parseJackson(lines: DataFrame, lineCol: Column): DataFrame = {
     graft.plans.GraftExtensions.register(lines.sparkSession)
     val topic = substring_index(lineCol, " ", 1)
     val json = lineCol.substr(length(topic) + 2, length(lineCol))

@@ -103,7 +103,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     (FunctionIdentifier("best_gateway"),
       info("best_gateway", "best_gateway(array<struct<gtw_id,rssi,snr>>)"),
-      (es: Seq[Expression]) => BestGateway(es.head)))
+      (es: Seq[Expression]) => BestGateway(es.head)),
+    (FunctionIdentifier("ttn_parse"),
+      info("ttn_parse", "ttn_parse(envelope_json)"),
+      (es: Seq[Expression]) => TtnEnvelopeParse(Cast(es.head, StringType))))
 
   /** Imperative registration on an existing session — idempotent AND
     * quiet: skips functions already present (re-registering logs a
