@@ -1356,7 +1356,37 @@ object SparkEntry {
     "q99_session_windows" -> ((s, d) =>
       WindowOps.sessionize(Tables.events(s, d), col("user_id"),
           col("ts").cast("timestamp"), 12347, col("value"))
-        .withColumnRenamed("key", "user_id"))
+        .withColumnRenamed("key", "user_id")),
+
+    // Q100 — console monitor row (K4, MyDatacollector.py:2110-2117
+    // layout + :418-427 colors): every printf quirk exercised — %-92.91s
+    // truncate-then-pad (the long sensor list crosses 91 chars), %4.d /
+    // %2.d space-justify with the zero→empty precision-dot case
+    // (event_id % 19999 = 0), tri-state validity, geo suffix, gateway
+    // count presence, and the ≤1h interval suffix. Pure Column algebra
+    // (Forwarding.monitorLine); the oracle restates the layout in SQL.
+    "q100_console_monitor" -> ((s, d) => {
+      val sensors = when(col("event_id") % 4 === 0, lit(""))
+        .when(col("event_id") % 4 === 1, lit("temp"))
+        .when(col("event_id") % 4 === 2, lit("temp,rv"))
+        .otherwise(lit("pm10,pm25,rh0,temp,rv,pres,grain,aerosol," +
+          "windspeed,winddir,luchtdruk"))
+      val valid = when(col("event_id") % 5 === 0, lit(null).cast("boolean"))
+        .when(col("event_id") % 5 === 1, lit(false)).otherwise(lit(true))
+      val kitLoc = when(col("event_id") % 7 === 0, lit("u1hc230"))
+        .otherwise(lit(null).cast("string"))
+      val nGtws = when(col("event_id") % 11 === 0, lit(null).cast("int"))
+        .otherwise((col("event_id") % 13 + 1).cast("int"))
+      val out = graft.streaming.Forwarding.monitorLine(
+        col("ts").cast("timestamp"),
+        concat(lit("TTN/kit"), col("user_id")),
+        concat(lit("SAN_d"), col("user_id")),
+        sensors, valid, kitLoc, nGtws,
+        (col("event_id") % 19999).cast("int"),
+        (col("event_id") % 7200).cast("int"))
+      Tables.events(s, d).select(col("event_id"),
+        out.getField("line").as("line"), out.getField("color").as("color"))
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -3059,6 +3089,49 @@ object SparkEntry {
                  max(s.t) + 12347 AS session_end, count(*) AS n,
                  CAST(sum(CAST(s.value AS DECIMAL(18,6))) AS DOUBLE) AS s
           FROM s JOIN g ON s.user_id = g.user_id AND s.t = g.t
-          GROUP BY s.user_id, g.sid"""
+          GROUP BY s.user_id, g.sid""",
+
+    // q100: the monitor printf layout restated in SQL — rpad(substr(,91),92)
+    // is %-92.91s, the CASE'd lpad is %4.d (no truncation of wider counts,
+    // zero renders empty per the precision dot), iv//60 matches %d of the
+    // float division (non-negative → floor).
+    "q100_console_monitor" ->
+      """WITH b AS (
+           SELECT event_id, user_id,
+                  strftime(ts, '%Y-%m-%d %H:%M') AS dt,
+                  CASE WHEN event_id % 4 = 0 THEN ''
+                       WHEN event_id % 4 = 1 THEN 'temp'
+                       WHEN event_id % 4 = 2 THEN 'temp,rv'
+                       ELSE 'pm10,pm25,rh0,temp,rv,pres,grain,aerosol,windspeed,winddir,luchtdruk'
+                  END AS sensors,
+                  CASE WHEN event_id % 5 = 0 THEN ' mobile'
+                       WHEN event_id % 5 = 1 THEN ' invalid' ELSE '' END
+                    || CASE WHEN event_id % 7 = 0 THEN ' geo ''u1hc230''' ELSE '' END
+                    AS validity,
+                  CASE WHEN event_id % 11 = 0 THEN ''
+                       ELSE ' #gtws:' || lpad(CAST(event_id % 13 + 1 AS VARCHAR), 2, ' ')
+                  END AS gtws,
+                  CASE WHEN event_id % 19999 = 0 THEN ''
+                       ELSE CAST(event_id % 19999 AS VARCHAR) END AS cnt,
+                  event_id % 7200 AS iv
+           FROM events),
+          i AS (
+           SELECT event_id, sensors, cnt, iv,
+                  dt || ' TTN/kit' || CAST(user_id AS VARCHAR)
+                     || ' (SAN_d' || CAST(user_id AS VARCHAR)
+                     || CASE WHEN sensors = '' THEN ' meta/event info'
+                             ELSE '[' || sensors || ']' END
+                     || validity || ')' || gtws AS innr
+           FROM b)
+          SELECT event_id,
+                 rpad(substr(innr, 1, 91), 92, ' ') || ' #'
+                   || CASE WHEN length(cnt) >= 4 THEN cnt
+                           ELSE lpad(cnt, 4, ' ') END
+                   || CASE WHEN iv <= 3600
+                           THEN ' at ' || CAST(iv // 60 AS VARCHAR) || 'm'
+                                || CAST(iv % 60 AS VARCHAR) || 's'
+                           ELSE '' END AS line,
+                 CASE WHEN sensors = '' THEN 33 ELSE 21 END AS color
+          FROM i"""
   )
 }

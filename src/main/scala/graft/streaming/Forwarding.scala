@@ -236,6 +236,75 @@ object Forwarding {
       to_json(struct(metadata.as("metadata"), data.as("data")),
         Map("ignoreNullFields" -> "false")).as("telegram"))
 
+  // ------------------------------------------------- console monitor (K4)
+
+  /** Monitor color codes (MyDatacollector.py:418-427). */
+  val MonitorBlue = 21
+  val MonitorLBlue = 33
+
+  /** `%4.d`-style pad: right-justify in `w` spaces, NO truncation of
+    * wider values (Spark's lpad truncates — printf does not), and the
+    * precision-dot zero case: `"%.d" % 0` renders ZERO digits, so a 0
+    * becomes `w` spaces, not `'   0'`. */
+  private def padInt(c: Column, w: Int): Column = {
+    val s = when(c === 0, lit("")).otherwise(c.cast("string"))
+    when(length(s) >= w, s).otherwise(lpad(s, w, " "))
+  }
+
+  /** K4 — the console monitor's per-record row
+    * (MyDatacollector.py:2110-2117):
+    *
+    * {{{ "%-92.91s #%4.d%s" % (
+    *       '%s %s (%s%s%s)%s' % (strftime("%Y-%m-%d %H:%M"), MQTTid,
+    *           TBLid, '[sensors]' | ' meta/event info', validity, NrGtws),
+    *       count,
+    *       ' at %dm%ds' if interval <= 3600 else '') }}}
+    *
+    * with validity = '' (valid) / ' invalid' / ' mobile' (valid is None)
+    * plus " geo '<kit_loc>'" when a geofence location is set
+    * (MyDatacollector.py:2104-2109), and NrGtws = ` #gtws:%2.d` when the
+    * gateway count is known (:2101). Color: BLUE for a data record,
+    * LBLUE for meta/event-only (:2117). The reference's
+    * ' validity undefined' arm (a missing dict key) is unreachable in a
+    * typed frame and not modeled.
+    *
+    * Returns `struct<line:string, color:int>` — pure Column algebra, so
+    * the formatter runs codegen'd in a foreachBatch console sink exactly
+    * like the K5/K6 formatters. `%-92.91s` = truncate to 91 chars then
+    * left-justify-pad to 92; `%4.d`/`%2.d` = space-right-justify, never
+    * truncate ([[padInt]]).
+    *
+    * @param sensors comma-joined data field names; null/empty marks a
+    *                meta/event-only record
+    * @param valid   tri-state: true valid, false invalid, null mobile
+    * @param kitLoc  geofence home geohash, null/empty when unset
+    * @param nGtws   gateway count, null when the envelope had no list
+    */
+  def monitorLine(ts: Column, mqttId: Column, tblId: Column,
+                  sensors: Column, valid: Column, kitLoc: Column,
+                  nGtws: Column, count: Column, interval: Column): Column = {
+    val sensorsPart = when(sensors.isNull || sensors === "",
+      lit(" meta/event info")).otherwise(concat(lit("["), sensors, lit("]")))
+    val validity = concat(
+      when(valid.isNull, lit(" mobile"))
+        .when(valid, lit("")).otherwise(lit(" invalid")),
+      when(kitLoc.isNotNull && kitLoc =!= "",
+        concat(lit(" geo '"), kitLoc, lit("'"))).otherwise(lit("")))
+    val nrGtws = when(nGtws.isNull, lit(""))
+      .otherwise(concat(lit(" #gtws:"), padInt(nGtws, 2)))
+    val inner = concat(
+      date_format(ts, "yyyy-MM-dd HH:mm"), lit(" "), mqttId,
+      lit(" ("), tblId, sensorsPart, validity, lit(")"), nrGtws)
+    val suffix = when(interval <= 3600, concat(
+      lit(" at "), floor(interval / 60).cast("long").cast("string"),
+      lit("m"), (interval % 60).cast("string"), lit("s"))).otherwise(lit(""))
+    val line = concat(rpad(substring(inner, 1, 91), 92, " "),
+      lit(" #"), padInt(count, 4), suffix)
+    struct(line.as("line"),
+      when(sensors.isNull || sensors === "", lit(MonitorLBlue))
+        .otherwise(lit(MonitorBlue)).as("color"))
+  }
+
   /** Literal-side escape for key names known at plan time. */
   private def lpEscapeLiteral(s: String): String =
     s.replace("\\", "\\\\").replace(",", "\\,")

@@ -97,6 +97,35 @@ class ForwardingSpec extends AnyFunSuite {
     assert(kits(Some("")) == Set("SAN", "HadM", "SAN2"))
   }
 
+  test("monitor row printf edges: %4.d zero/wide, %-92.91s truncation (K4)") {
+    val df = Seq(
+      // (id, sensors, count, interval)
+      (1L, "temp", 0, 90),        // %4.d of 0 → four spaces, no digit
+      (2L, "temp", 12345, 30),    // wider than 4 → NO truncation
+      (3L, "a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p,q,r,s,t,u,v,w,x,y,z," +
+        "a2,b2,c2,d2,e2,f2,g2,h2", 7, 3601), // inner > 91 chars; iv > 1h
+      (4L, "", 42, 3600)          // meta/event arm; iv == 1h boundary kept
+    ).toDF("id", "sensors", "cnt", "iv")
+    val ts = to_timestamp(lit("2024-03-01 10:20:00"))
+    val out = df.select(col("id"), monitorLine(ts, lit("TTN/kitX"),
+        lit("SAN_dX"), col("sensors"), lit(true),
+        lit(null).cast("string"), lit(2), col("cnt"), col("iv")).as("m"))
+      .select(col("id"), col("m.line"), col("m.color"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val head = "2024-03-01 10:20 TTN/kitX (SAN_dX[temp]) #gtws: 2"
+    assert(out(1L)._1 == head.padTo(92, ' ') + " #     at 1m30s",
+      s"zero count must render NO digit: '${out(1L)._1}'")
+    assert(out(2L)._1 == head.padTo(92, ' ') + " #12345 at 0m30s",
+      s"wide count must not truncate: '${out(2L)._1}'")
+    val l3 = out(3L)._1
+    assert(l3.length == 92 + 2 + 4 && l3.substring(0, 92).length == 92 &&
+      !l3.contains(" at "), s"truncate-to-91-pad-to-92, no suffix past 1h: '$l3'")
+    assert(l3.startsWith("2024-03-01 10:20 TTN/kitX (SAN_dX[a,b,c,"))
+    assert(out(4L)._1.contains(" meta/event info") &&
+      out(4L)._1.endsWith(" #  42 at 60m0s"))
+    assert(out(1L)._2 == MonitorBlue && out(4L)._2 == MonitorLBlue)
+  }
+
   test("console sink wiring runs a micro-batch (K4)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Notice]
