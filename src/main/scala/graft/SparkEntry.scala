@@ -1386,7 +1386,18 @@ object SparkEntry {
         (col("event_id") % 7200).cast("int"))
       Tables.events(s, d).select(col("event_id"),
         out.getField("line").as("line"), out.getField("color").as("color"))
-    })
+    }),
+
+    // Q101 — q99's sessionization run as a REAL five-micro-batch replay
+    // (W5 streaming leg): cross-batch session merge, late-row backward
+    // extension, watermark-advance flush, and hard-late drop each forced
+    // by a dedicated file (see Replay.replaySessionWindows scaladoc for
+    // the closed form and why no tie guard is needed). The oracle is
+    // q99's gaps-and-islands over the accepted row set: evens ∪ planted
+    // seeds ∪ fresh odds ∪ anchors ∪ extenders — far-future keys and
+    // hard-late rows never surface.
+    "q101_session_replay" -> ((s, d) =>
+      graft.streaming.Replay.replaySessionWindows(s, d))
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -3132,6 +3143,54 @@ object SparkEntry {
                                 || CAST(iv % 60 AS VARCHAR) || 's'
                            ELSE '' END AS line,
                  CASE WHEN sensors = '' THEN 33 ELSE 21 END AS color
-          FROM i"""
+          FROM i""",
+
+    // q101: gaps-and-islands (the q99 oracle shape) over the replay's
+    // accepted row set. W1 = max(file-0 time) − 600 where file 0 holds
+    // the evens plus the newest planted seed at a − 1700; fresh odds,
+    // both anchor families, and the extenders join the union; hard-late
+    // odds (≤ W1) and the far-future watermark-driver keys never emit.
+    "q101_session_replay" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS t, value
+                     FROM events),
+          mx AS (SELECT max(t) AS a,
+                        greatest(max(CASE WHEN event_id % 2 = 0 THEN t END),
+                                 max(t) - 1700) - 600 AS w1
+                 FROM ev),
+          u AS (SELECT DISTINCT user_id FROM ev),
+          acc AS (
+            SELECT user_id AS skey, t, CAST(value AS DECIMAL(18,6)) AS v
+            FROM ev WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT user_id, t, CAST(value AS DECIMAL(18,6))
+            FROM ev, mx WHERE event_id % 2 = 1 AND t > w1
+            UNION ALL
+            SELECT user_id + 10000, a - (user_id % 50) - 1700,
+                   CAST((user_id % 83) * 0.125 AS DECIMAL(18,6))
+            FROM u, mx
+            UNION ALL
+            SELECT user_id + 10000, a - (user_id % 50),
+                   CAST((user_id % 97) * 0.5 AS DECIMAL(18,6))
+            FROM u, mx
+            UNION ALL
+            SELECT user_id + 20000, a - (user_id % 50),
+                   CAST((user_id % 97) * 0.5 AS DECIMAL(18,6))
+            FROM u, mx
+            UNION ALL
+            SELECT user_id + 20000, a - (user_id % 50) - 950,
+                   CAST((user_id % 89) * 0.25 AS DECIMAL(18,6))
+            FROM u, mx),
+          d AS (SELECT DISTINCT skey, t FROM acc),
+          m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800
+                          THEN 1 ELSE 0 END AS brk
+                FROM d WINDOW w AS (PARTITION BY skey ORDER BY t)),
+          g AS (SELECT *, sum(brk) OVER (PARTITION BY skey ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+          SELECT acc.skey, min(acc.t) AS session_start,
+                 max(acc.t) + 1800 AS session_end, count(*) AS n,
+                 CAST(sum(acc.v) AS DOUBLE) AS s
+          FROM acc JOIN g ON acc.skey = g.skey AND acc.t = g.t
+          GROUP BY acc.skey, g.sid"""
   )
 }

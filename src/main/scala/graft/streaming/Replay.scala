@@ -356,6 +356,143 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** §2.8 W5's STREAMING leg — native `session_window` sessionization
+    * replayed over REAL micro-batch boundaries (q101), proving the q99
+    * batch operator streaming-capable with every session fate forced by
+    * a dedicated file (the q94/q97 method):
+    *
+    *   file 0: even rows, plus one SEED row per merge-family key
+    *            (key = user+10000, ts = anchor − 1700) — builds state
+    *   file 1: odd rows ts > W1, plus one ANCHOR row per planted key of
+    *            BOTH families (merge family user+10000 and extension
+    *            family user+20000, ts = A − user%50): the merge-family
+    *            anchor lands 1700 s ≤ gap after its batch-0 seed and
+    *            MUST merge that session ACROSS the batch boundary
+    *            (planted, not left to the corpus cadence — at sf0.01 a
+    *            user emits ~once per 10 h, so a natural cross-batch
+    *            merge inside the 10-min fresh tail is a coin flip);
+    *            the commit emits every untouched session ending ≤ W1
+    *   file 2: one EXTENDER per extension-family key at anchor − 950 s
+    *            — LATE vs the watermark (ts < W2 by ≥ 350 s) yet alive
+    *            (window end ≥ A+752 > W2), so it must extend the
+    *            still-open anchor session BACKWARD (session_start moves
+    *            to the extender's ts)
+    *   file 3: far-future rows on disjoint negative keys at
+    *            A + delay + gap + 3600 — advances the watermark to
+    *            W3 > every accepted session end; the far sessions
+    *            themselves end past every later watermark and are
+    *            never emitted
+    *   file 4: a second far-future handful (keys −11..−15, +5 s) — a
+    *            BUFFER batch: its eviction pass runs at wm W3 and
+    *            flushes ALL remaining sessions (incl. the extended
+    *            ones), and it pushes file 5's late-filter bound to W3
+    *   file 5: odd rows ts ≤ W1    — every row's window end
+    *            (≤ A + 1200 < W3 by the 3600 margin) is hard-late →
+    *            dropped before the session operator
+    *
+    * MEASURED two-watermark semantics this file order encodes (found by
+    * the first four-file cut of this replay, which leaked its late rows
+    * into the output): Spark filters a batch's LATE INPUT with the
+    * watermark of the batch BEFORE the previous one (the value the
+    * previous batch filtered with), while EVICTING with the watermark
+    * derived from all data through the previous batch — one batch of
+    * lag between the two. A late file placed directly after the
+    * watermark-driver file is therefore filtered against the OLD
+    * watermark and partially accepted; the buffer batch absorbs that
+    * lag so file 5 is filtered against W3 as intended.
+    *
+    * with A = max event ts, W1 = max(even ts ∪ seed ts) − delay,
+    * W2 = A − delay, W3 = A + gap + 3600. Output is then a pure
+    * function of the data: ALL maximal sessions over (evens ∪ seeds ∪
+    * odds > W1 ∪ anchors ∪ extenders) — the oracle restates it as
+    * q99's gaps-and-islands over that union.
+    *
+    * Why the closed form needs NO tie guards (unlike q94/q97): the only
+    * divergence channel is a row touching an already-emitted session
+    * (streaming would open a second overlapping session the batch oracle
+    * merges away). Emitted sessions end ≤ the current watermark; file-1
+    * rows have ts > W1 and merging needs ts ≤ session end ≤ W1 — a
+    * contradiction under EITHER ≤/< emission edge, so the boundary case
+    * is unreachable rather than engine-defined. Planted keys carry no
+    * earlier sessions, far keys are disjoint, and file-4 rows clear W3
+    * by the structural 3600 s margin, never a data-dependent tie.
+    *
+    * Planted-key interference is impossible by key arithmetic
+    * (user+10000; guarded by a require on max natural user_id), and the
+    * extender's 950 s offset keeps every inequality structural:
+    * late by ≥ 950 − delay ≥ 350 s, alive by ≥ gap − 950 − 49 ≥ 801 s,
+    * merges the anchor at diff 950 < gap. */
+  def replaySessionWindows(spark: SparkSession, sfDir: String,
+                           gapSec: Int = 1800, delaySec: Int = 600): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("t"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val even = col("event_id") % 2 === 0
+    val b = ev.agg(max(col("t")), max(when(even, col("t"))), max(col("user_id"))).head()
+    val (a, maxEven, maxUser) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    require(maxUser < 10000,
+      s"planted keys user+10000/user+20000 must not collide with natural keys (max=$maxUser)")
+    // W1 = max(file-0 event time) − delay; file 0 = evens ∪ seeds, and the
+    // newest seed sits at A − 1700 (offset 0)
+    val w1 = math.max(maxEven, a - 1700) - delaySec
+    def rows(key: Column, t: Column, v: Column) = Seq(
+      key.cast("long").as("skey"),
+      t.cast("long").cast("timestamp").as("ts"),
+      v.cast("double").as("value"))
+    val natural = ev.select(rows(col("user_id"), col("t"), col("value")) :+
+      when(even, lit("f0")).when(col("t") > w1, lit("f1"))
+        .otherwise(lit("f4")).as("cls"): _*)
+    val users = ev.select(col("user_id")).distinct()
+    val anchorT = lit(a) - col("user_id") % 50
+    val seeds = users.select(rows(col("user_id") + 10000,
+      anchorT - 1700, (col("user_id") % 83) * 0.125): _*)
+    val mergeAnchors = users.select(rows(col("user_id") + 10000,
+      anchorT, (col("user_id") % 97) * 0.5): _*)
+    val extAnchors = users.select(rows(col("user_id") + 20000,
+      anchorT, (col("user_id") % 97) * 0.5): _*)
+    val extenders = users.select(rows(col("user_id") + 20000,
+      anchorT - 950, (col("user_id") % 89) * 0.25): _*)
+    val far = spark.range(5).select(rows(-col("id") - 1,
+      lit(a + delaySec + gapSec + 3600) + col("id"), lit(0.0)): _*)
+    val far2 = spark.range(5).select(rows(-col("id") - 11,
+      lit(a + delaySec + gapSec + 3600 + 5) + col("id"), lit(0.0)): _*)
+    val corpus = natural
+      .unionByName(seeds.withColumn("cls", lit("f0")))
+      .unionByName(mergeAnchors.withColumn("cls", lit("f1")))
+      .unionByName(extAnchors.withColumn("cls", lit("f1")))
+      .unionByName(extenders.withColumn("cls", lit("f2")))
+      .unionByName(far.withColumn("cls", lit("f3")))
+      .unionByName(far2.withColumn("cls", lit("fb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inDir = stageReplayFiles("sess", corpus,
+      Seq(("replay-0.parquet", col("cls") === "f0", 1000000L),
+          ("replay-1.parquet", col("cls") === "f1", 2000000L),
+          ("replay-2.parquet", col("cls") === "f2", 3000000L),
+          ("replay-3.parquet", col("cls") === "f3", 4000000L),
+          ("replay-4.parquet", col("cls") === "fb", 5000000L),
+          ("replay-5.parquet", col("cls") === "f4", 6000000L)))
+    corpus.unpersist(); ev.unpersist()
+    val outDir = tmpRoot.resolve("sess_out").toString
+    val q = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("skey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+      .select(col("skey"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n"), col("s"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpRoot.resolve("sess_ckpt").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   def replayWatermarkAgg(spark: SparkSession, sfDir: String,
                          deltaMin: Int = 37, windowMin: Int = 60): DataFrame = {
     val corpus = Tables.events(spark, sfDir).select(

@@ -427,6 +427,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.width == -1 && b.n_frames == 0)
   }
 
+  test("q101 session replay exercises every fate (W5 streaming)") {
+    // The q101 oracle would pass vacuously if a planted family stopped
+    // exercising its fate. Assert at sf0.01: cross-batch merge (every
+    // merge-family key's seed+anchor fuse into ONE n=2 session), late
+    // backward extension (every ext-family session starts at the
+    // EXTENDER's ts, not the anchor's), hard-late rows exist and are
+    // dropped, far-future watermark-driver keys never emit.
+    val sf = "/root/testdata/sf0.01"
+    val out = Replay.replaySessionWindows(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = graft.Tables.events(spark, sf).select(col("event_id"),
+      col("user_id"), unix_timestamp(col("ts")).as("t"))
+    val b = ev.agg(max(col("t")),
+      max(when(col("event_id") % 2 === 0, col("t")))).head()
+    val (a, maxEven) = (b.getLong(0), b.getLong(1))
+    val w1 = math.max(maxEven, a - 1700) - 600
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // merge family: one session per key, n = 2, spanning seed → anchor
+    val mg = out.where(col("skey") >= 10000 && col("skey") < 20000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(mg.count() == nUsers, "one merged session per merge-family key")
+    assert(mg.where(col("n") =!= 2).isEmpty, "seed+anchor must fuse (n=2)")
+    assert(mg.where(col("session_end") - col("session_start") =!= 1700 + 1800)
+      .isEmpty, "merged span = seed→anchor 1700 s + gap")
+    // extension family: session START moved back to the extender's ts
+    val ex = out.where(col("skey") >= 20000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(ex.count() == nUsers, "one extended session per ext-family key")
+    assert(ex.where(col("n") =!= 2).isEmpty, "late extender must join (n=2)")
+    assert(ex.where(col("session_end") - col("session_start") =!= 950 + 1800)
+      .isEmpty, "extended span = extender→anchor 950 s + gap")
+    // hard-late fate is non-vacuous and dropped: late odds exist, and the
+    // engine's total row weight equals accepted-set size exactly
+    val nLate = ev.where(col("event_id") % 2 === 1 && col("t") <= w1).count()
+    assert(nLate > 0, "hard-late fate not exercised (no odd rows ≤ W1)")
+    val nFresh = ev.where(col("event_id") % 2 === 1 && col("t") > w1).count()
+    val nEven = ev.where(col("event_id") % 2 === 0).count()
+    val weight = out.agg(sum(col("n"))).head().getLong(0)
+    assert(weight == nEven + nFresh + 4 * nUsers,
+      s"emitted row weight $weight must equal accepted set " +
+        s"(evens $nEven + fresh $nFresh + 4×$nUsers planted) — " +
+        "late rows leaked or accepted rows lost")
+    assert(out.where(col("skey") < 0).isEmpty,
+      "far-future watermark-driver sessions must never emit")
+    Seq(out, mg, ex).foreach(_.unpersist())
+  }
+
   test("q97 dedup-within-watermark replay exercises every fate (U1 streaming)") {
     // The q97 oracle would pass vacuously if a pairing class stopped
     // landing rows in its intended fate (the three-file first cut
