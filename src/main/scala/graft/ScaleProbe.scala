@@ -280,6 +280,33 @@ object ScaleProbe {
       val (err, s) = time(meanQErr(clustered, 8, 4, cb))
       println(s"""{"probe":"ann","method":"pq_qerr_clustered","codebook":"$cbName","m":8,"ksub":16,"n":8192,"mean_qerr":${math.rint(err * 100) / 100},"s":$s}""")
     }
+
+    // Composed IVF-PQ, trained vs first-K at BOTH levels, on the
+    // clustered corpus (VERDICT r6 item 4): the trained coarse quantizer
+    // aligns cells with the 16 true clusters (max_cell ≈ n/16) while the
+    // first-K coarse centroids all land inside clusters 0-3 and build
+    // mega-cells; the residual codebooks then quantize what's left. The
+    // ground truth is exact L2 top-k; recall carries the tight-cluster
+    // tie caveat measured above, so the decisive pair is
+    // (recall, max_cell) TOGETHER — the serving cost of a probe is
+    // bounded by its cell size.
+    val exactL2C = exactL2(clustered).cache(); exactL2C.count()
+    for (nprobe <- Seq(1, 2)) {
+      val (recF, sF) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.ivfPqAdcTopK(clustered, col("vec_id"),
+          col("embedding"), 16, nprobe, 8, 4, 16, nQ, k), exactL2C, k))
+      val (mxF, ncF) = cellStats(operators.Similarity.ivfAssign(
+        clustered, col("vec_id"), col("embedding"), 16))
+      println(s"""{"probe":"ann","method":"ivfpq_firstk_clustered","coarse":16,"nprobe":$nprobe,"m":8,"ksub":16,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(recF * 10000) / 10000},"max_cell":$mxF,"used_cells":$ncF,"s":$sF}""")
+      val (recT, sT) = time(operators.Similarity.meanRecallAtK(
+        operators.Similarity.ivfPqAdcTopKTrained(clustered, col("vec_id"),
+          col("embedding"), 16, 5, 8, nprobe, 8, 4, 16, nQ, k), exactL2C, k))
+      val (mxT2, ncT2) = cellStats(operators.Similarity.ivfAssignWith(
+        clustered, col("vec_id"), col("embedding"),
+        operators.Similarity.kmeansCentroids(
+          clustered, col("vec_id"), col("embedding"), 16, 5)))
+      println(s"""{"probe":"ann","method":"ivfpq_trained_clustered","coarse":16,"coarse_iters":5,"pq_iters":8,"nprobe":$nprobe,"m":8,"ksub":16,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(recT * 10000) / 10000},"max_cell":$mxT2,"used_cells":$ncT2,"s":$sT}""")
+    }
   }
 
   /** Near-dup shapes over replicated documents. Each replica's text is

@@ -620,11 +620,50 @@ object Similarity {
       .where(col("c_id") < kCoarse)
       .withColumn("c_n2", dot(col("c_v"), col("c_v")))
     val cells = ivfAssign(emb, id, vec, kCoarse) // (id, v, n2, cell)
+    ivfPqAdcTail(emb, id, vec, cents, cells, m, dsub,
+      resid => pqCodebookFirstK(resid, col("id"), col("res"), m, dsub, ksub),
+      nprobe, nQueries, k)
+  }
+
+  /** [[ivfPqAdcTopK]] with TRAINED quantizers at both levels: coarse
+    * cells from [[kmeansCentroids]] (farthest-point init, Lloyd's) and
+    * residual codebooks from [[pqCodebooksTrained]] (independent k-means
+    * per subspace over the residuals). Same serving shape; only the
+    * offline index-build stages change — this is the production
+    * composition the first-K q98 oracle stands in for (trained state
+    * can't be shared with DuckDB). Probe-audited against the first-K
+    * pipeline on a planted-cluster corpus in ScaleProbe (recall@k +
+    * cell balance). */
+  def ivfPqAdcTopKTrained(emb: DataFrame, id: Column, vec: Column,
+                          kCoarse: Int, coarseIters: Int, pqIters: Int,
+                          nprobe: Int, m: Int, dsub: Int, ksub: Int,
+                          nQueries: Int, k: Int): DataFrame = {
+    ensureRegistered(emb)
+    val trained = kmeansCentroids(emb, id, vec, kCoarse, coarseIters)
+    val cents = centroidFrame(emb.sparkSession, trained)
+      .withColumnRenamed("cn2", "c_n2")
+    val cells = ivfAssignWith(emb, id, vec, trained)
+    ivfPqAdcTail(emb, id, vec, cents, cells, m, dsub,
+      resid => pqCodebooksTrained(resid, col("id"), col("res"),
+        m, dsub, ksub, pqIters),
+      nprobe, nQueries, k)
+  }
+
+  /** Shared IVF-PQ serving tail: residual computation, residual-codebook
+    * build (`mkCodebook` over the `(id, cell, res)` frame), PQ encode,
+    * per-(query, probed-cell) residual LUTs, byte-code equi-join scan,
+    * top-k. `cents` = `(c_id, c_v, c_n2)`, `cells` = `(id, v, n2, cell)`
+    * assigned against the SAME centroids. */
+  private def ivfPqAdcTail(emb: DataFrame, id: Column, vec: Column,
+                           cents: DataFrame, cells: DataFrame,
+                           m: Int, dsub: Int,
+                           mkCodebook: DataFrame => DataFrame,
+                           nprobe: Int, nQueries: Int, k: Int): DataFrame = {
     val resid = cells.join(broadcast(cents), col("cell") === col("c_id"))
       .select(col("id"), col("cell"),
         zip_with(transform(col("v"), x => x.cast("double")), col("c_v"),
           (a, b) => a - b).as("res"))
-    val cb = pqCodebookFirstK(resid, col("id"), col("res"), m, dsub, ksub)
+    val cb = mkCodebook(resid)
     val enc = pqEncode(resid, col("id"), col("res"), m, dsub, cb)
       .join(cells.select(col("id"), col("cell")), Seq("id"))
     // query side: nprobe nearest coarse cells, one residual LUT per

@@ -349,6 +349,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("trained ivf-pq stays in-cluster where first-K coarse fails (head-cluster init)") {
+    import spark.implicits._
+    // 8 orthogonal clusters but cluster = id / 12 — ids 0-7 (the first-K
+    // coarse centroids AND the residual codebook seeds) all sit in
+    // cluster 0, the degenerate-init case the trained path must survive.
+    val dim = 16
+    val data = (0L until 96L).map { i =>
+      val c = (i / 12).toInt
+      val v = Array.tabulate(dim) { j =>
+        val center = if (j == 2 * c || j == 2 * c + 1) 10.0 else 0.0
+        (center + ((i * 7 + j * 13) % 5 - 2) * 0.01).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqAdcTopKTrained(data, col("vec_id"),
+        col("embedding"), kCoarse = 8, coarseIters = 3, pqIters = 2,
+        nprobe = 1, m = 4, dsub = 4, ksub = 8, nQueries = 6, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(res.length == 30)
+    res.foreach { case (q, _, n) =>
+      assert(n != q)
+      assert(n / 12 == q / 12,
+        s"trained ivf-pq returned cross-cluster neighbour: q=$q n=$n")
+    }
+    // cells must be balanced: trained coarse aligns with the 8 planted
+    // clusters (12 vectors each), no mega-cell
+    val cents = Similarity.kmeansCentroids(data, col("vec_id"),
+      col("embedding"), 8, 3)
+    val sizes = Similarity.ivfAssignWith(data, col("vec_id"),
+        col("embedding"), cents)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.max == 12,
+      s"trained coarse cells must match planted clusters: ${sizes.mkString(",")}")
+  }
+
   test("recall@k: exact vs itself = 1; missing queries count as 0") {
     import spark.implicits._
     val bf = Similarity.knnBruteForce(emb, col("vec_id"), col("embedding"), 5, 4)
