@@ -3155,7 +3155,8 @@ object SparkEntry {
                      FROM events),
           mx AS (SELECT max(t) AS a,
                         greatest(max(CASE WHEN event_id % 2 = 0 THEN t END),
-                                 max(t) - 1700) - 600 AS w1
+                                 max(t) - 1700) - 600 AS w1,
+                        max(user_id) + 1 AS kb
                  FROM ev),
           u AS (SELECT DISTINCT user_id FROM ev),
           acc AS (
@@ -3165,19 +3166,19 @@ object SparkEntry {
             SELECT user_id, t, CAST(value AS DECIMAL(18,6))
             FROM ev, mx WHERE event_id % 2 = 1 AND t > w1
             UNION ALL
-            SELECT user_id + 10000, a - (user_id % 50) - 1700,
+            SELECT user_id + kb, a - (user_id % 50) - 1700,
                    CAST((user_id % 83) * 0.125 AS DECIMAL(18,6))
             FROM u, mx
             UNION ALL
-            SELECT user_id + 10000, a - (user_id % 50),
+            SELECT user_id + kb, a - (user_id % 50),
                    CAST((user_id % 97) * 0.5 AS DECIMAL(18,6))
             FROM u, mx
             UNION ALL
-            SELECT user_id + 20000, a - (user_id % 50),
+            SELECT user_id + 2 * kb, a - (user_id % 50),
                    CAST((user_id % 97) * 0.5 AS DECIMAL(18,6))
             FROM u, mx
             UNION ALL
-            SELECT user_id + 20000, a - (user_id % 50) - 950,
+            SELECT user_id + 2 * kb, a - (user_id % 50) - 950,
                    CAST((user_id % 89) * 0.25 AS DECIMAL(18,6))
             FROM u, mx),
           d AS (SELECT DISTINCT skey, t FROM acc),

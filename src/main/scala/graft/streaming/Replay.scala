@@ -362,10 +362,11 @@ object Replay {
     * a dedicated file (the q94/q97 method):
     *
     *   file 0: even rows, plus one SEED row per merge-family key
-    *            (key = user+10000, ts = anchor − 1700) — builds state
+    *            (key = user + keyBase where keyBase = max(user)+1,
+    *            ts = anchor − 1700) — builds state
     *   file 1: odd rows ts > W1, plus one ANCHOR row per planted key of
-    *            BOTH families (merge family user+10000 and extension
-    *            family user+20000, ts = A − user%50): the merge-family
+    *            BOTH families (merge family user+keyBase and extension
+    *            family user+2·keyBase, ts = A − user%50): the merge-family
     *            anchor lands 1700 s ≤ gap after its batch-0 seed and
     *            MUST merge that session ACROSS the batch boundary
     *            (planted, not left to the corpus cadence — at sf0.01 a
@@ -418,7 +419,7 @@ object Replay {
     * by the structural 3600 s margin, never a data-dependent tie.
     *
     * Planted-key interference is impossible by key arithmetic
-    * (user+10000; guarded by a require on max natural user_id), and the
+    * (data-derived keyBase strides, the q97/MakeScale rule), and the
     * extender's 950 s offset keeps every inequality structural:
     * late by ≥ 950 − delay ≥ 350 s, alive by ≥ gap − 950 − 49 ≥ 801 s,
     * merges the anchor at diff 950 < gap. */
@@ -431,8 +432,12 @@ object Replay {
     val even = col("event_id") % 2 === 0
     val b = ev.agg(max(col("t")), max(when(even, col("t"))), max(col("user_id"))).head()
     val (a, maxEven, maxUser) = (b.getLong(0), b.getLong(1), b.getLong(2))
-    require(maxUser < 10000,
-      s"planted keys user+10000/user+20000 must not collide with natural keys (max=$maxUser)")
+    // data-derived planted-key bases (the q97/MakeScale stride rule —
+    // hard-coded offsets silently collide on bigger corpora: sf1's
+    // replicated user ids reach 15k): merge family at keyBase + user,
+    // extension family at 2·keyBase + user, both disjoint from naturals
+    val keyBase = maxUser + 1
+    require(keyBase > 0, s"non-positive user key space (max=$maxUser)")
     // W1 = max(file-0 event time) − delay; file 0 = evens ∪ seeds, and the
     // newest seed sits at A − 1700 (offset 0)
     val w1 = math.max(maxEven, a - 1700) - delaySec
@@ -445,13 +450,13 @@ object Replay {
         .otherwise(lit("f4")).as("cls"): _*)
     val users = ev.select(col("user_id")).distinct()
     val anchorT = lit(a) - col("user_id") % 50
-    val seeds = users.select(rows(col("user_id") + 10000,
+    val seeds = users.select(rows(col("user_id") + keyBase,
       anchorT - 1700, (col("user_id") % 83) * 0.125): _*)
-    val mergeAnchors = users.select(rows(col("user_id") + 10000,
+    val mergeAnchors = users.select(rows(col("user_id") + keyBase,
       anchorT, (col("user_id") % 97) * 0.5): _*)
-    val extAnchors = users.select(rows(col("user_id") + 20000,
+    val extAnchors = users.select(rows(col("user_id") + 2 * keyBase,
       anchorT, (col("user_id") % 97) * 0.5): _*)
-    val extenders = users.select(rows(col("user_id") + 20000,
+    val extenders = users.select(rows(col("user_id") + 2 * keyBase,
       anchorT - 950, (col("user_id") % 89) * 0.25): _*)
     val far = spark.range(5).select(rows(-col("id") - 1,
       lit(a + delaySec + gapSec + 3600) + col("id"), lit(0.0)): _*)

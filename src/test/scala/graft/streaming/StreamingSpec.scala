@@ -443,16 +443,17 @@ class StreamingSpec extends AnyFunSuite {
       max(when(col("event_id") % 2 === 0, col("t")))).head()
     val (a, maxEven) = (b.getLong(0), b.getLong(1))
     val w1 = math.max(maxEven, a - 1700) - 600
+    val kb = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     val nUsers = ev.select(col("user_id")).distinct().count()
     // merge family: one session per key, n = 2, spanning seed → anchor
-    val mg = out.where(col("skey") >= 10000 && col("skey") < 20000)
+    val mg = out.where(col("skey") >= kb && col("skey") < 2 * kb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assert(mg.count() == nUsers, "one merged session per merge-family key")
     assert(mg.where(col("n") =!= 2).isEmpty, "seed+anchor must fuse (n=2)")
     assert(mg.where(col("session_end") - col("session_start") =!= 1700 + 1800)
       .isEmpty, "merged span = seed→anchor 1700 s + gap")
     // extension family: session START moved back to the extender's ts
-    val ex = out.where(col("skey") >= 20000)
+    val ex = out.where(col("skey") >= 2 * kb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assert(ex.count() == nUsers, "one extended session per ext-family key")
     assert(ex.where(col("n") =!= 2).isEmpty, "late extender must join (n=2)")
