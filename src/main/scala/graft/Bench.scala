@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition override for scale A/B runs: at sf10 (100 M
+    // events / 5 M documents) the cpus-count default leaves >3 M rows
+    // per shuffle partition and the wide dedup aggregations spill —
+    // partitions must track DATA VOLUME, not core count (the knob a
+    // real cluster sets via maxPartitionBytes/AQE advisory size).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Size-based (NOT forced) broadcast ceiling sized for the deploy

@@ -112,13 +112,22 @@ object MakeScale {
     val emb = Tables.embeddings(spark, src)
     val vStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embCols = emb.columns.toSeq
+    // The sign-flip pattern is salted with the corpus-derived vStride so
+    // NESTED replication (sf0.1→sf1→sf10) composes decorrelated: with an
+    // unsalted per-replica key, run 2's pattern F_j equals run 1's F_j,
+    // so replica pairs (i,j)/(j,i) of the same base vector carry the
+    // SAME combined flip F_i⊕F_j and are bit-identical — measured at
+    // sf10 as ~10× the planted near-dup pair count (211,806 pairs for
+    // 220k vectors in the lshpairs probe; the corpus, not the operator).
+    // Distinct strides at each nesting level make cross-run patterns
+    // independent hashes, collision probability 2^-dim.
     writeOne((0 until mult).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * vStride))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding"), (x, j) =>
-            when(pmod(xxhash64(j * 41 + lit(i * 977)), lit(2)) === 0, x)
-              .otherwise(-x)))
+            when(pmod(xxhash64(j * 41 + lit(i * 977) + lit(vStride * 7919)),
+              lit(2)) === 0, x).otherwise(-x)))
         .select(embCols.map(col): _*)
     }.reduce(_ unionByName _), "embeddings")
 

@@ -343,12 +343,14 @@ object ScaleProbe {
       .select(col("vec_id").cast("long").as("id"), col("embedding"))
     val vStride = emb.agg(max(col("id"))).head().getLong(0) + 1
     def replicate(n: Int) =
+      // vStride-salted flip key — composes decorrelated over corpora that
+      // are themselves MakeScale replicas (see MakeScale.scala embeddings)
       (0 until n).map { i =>
         emb.select((col("id") + lit(i * vStride)).as("id"),
           (if (i == 0) col("embedding")
            else transform(col("embedding"), (x, j) =>
-             when(pmod(xxhash64(j * 41 + lit(i * 977)), lit(2)) === 0, x)
-               .otherwise(-x))).as("embedding"))
+             when(pmod(xxhash64(j * 41 + lit(i * 977) + lit(vStride * 7919)),
+               lit(2)) === 0, x).otherwise(-x))).as("embedding"))
       }.reduce(_ unionByName _)
     val dirs = mults.map { m =>
       val dir = s"/tmp/graft_scale_emb_${m}x"
