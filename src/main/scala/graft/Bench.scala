@@ -19,7 +19,11 @@ object Bench {
       // box (128 GiB): mid-size build sides (the shingle inverted index
       // at bench SF) broadcast deterministically instead of AQE flapping
       // between SMJ and BHJ run-to-run; oversized sides still shuffle.
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // overridable for scale A/B runs (e.g. "-1" forces shuffle joins
+      // to test whether an AQE broadcast→SMJ runtime transition is what
+      // a query pays at the next decade)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one optimizer config for every query (q54 relies on the rule;
