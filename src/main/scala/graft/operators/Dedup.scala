@@ -122,31 +122,90 @@ object Dedup {
       case Some(cap) =>
         // Posting-list candidate generation: ONE wide shuffle groups each
         // shingle's (distinct, sorted) doc-id list; lists longer than the
-        // cap are dropped whole (the df cap); ordered pairs explode
-        // in-place from the array — ≤ cap·(cap−1)/2 per shingle, no
-        // self-join. Alternatives measured at sf0.1 (min-of-5, same
-        // oracle): this 7.6 s; broadcast-anti-join of the (tiny) hot-
-        // shingle set + s-keyed self-join 8.5 s and one more wide shuffle
-        // at scale; low-df semi-join 11.5 s; window df-count 17.8 s
-        // (forces a full sort). r5: pre-hashing shingles to 60-bit longs
-        // (md5-prefix, the portable cross-engine hash) to shrink the
-        // shuffle payload measured 10.8 s — the per-shingle md5 chain
+        // cap are dropped from CANDIDATE GENERATION (the df cap); ordered
+        // pairs explode in-place from the array — ≤ cap·(cap−1)/2 per
+        // shingle, no self-join. Alternatives measured at sf0.1
+        // (min-of-5, same oracle): this 7.6 s; broadcast-anti-join of the
+        // (tiny) hot-shingle set + s-keyed self-join 8.5 s and one more
+        // wide shuffle at scale; low-df semi-join 11.5 s; window df-count
+        // 17.8 s (forces a full sort). r5: pre-hashing shingles to 60-bit
+        // longs (md5-prefix, the portable cross-engine hash) to shrink
+        // the shuffle payload measured 10.8 s — the per-shingle md5 chain
         // costs far more than the string bytes save; with a cheap
         // non-portable hash (xxhash64) the oracle twin is lost. Strings
         // stay.
         // collect_list, not collect_set: (id, s) rows are already
         // distinct (array_distinct inside shinglesOfTokens), so the list
         // IS the set — minus the per-element hash-set insert cost inside
-        // the non-codegen ObjectHashAggregate, which dominates this query.
+        // the non-codegen ObjectHashAggregate.
         val posting = sh.groupBy(col("s"))
           .agg(array_sort(collect_list(col("id"))).as("ids"))
-          .where(size(col("ids")).between(2, cap))
-        val cand = posting.select(explode(flatten(
+        val uc = posting.where(size(col("ids")).between(2, cap))
+
+        // r8 scale fix. The r1-r7 shape piped DISTINCT candidate pairs
+        // into [[verifyJaccard]]; profiled at sf10 (DfProbe) that join
+        // was the superlinear stage — 133 M candidate pairs (for 75 k
+        // true pairs), each join row carrying TWO ~50-element shingle
+        // arrays (~3 KB/row ≈ 380 GB of join payload → spill), +173 s of
+        // the 273 s total, where sf1 paid +11 s. (The r7 sweep blamed the
+        // posting-list agg's external sort; re-measured, that agg is
+        // +26-50 s of honest linear shuffle at sf10 — real but not the
+        // blowup.) The fix computes the intersection WITHOUT arrays:
+        //  - i_uc  = # shared shingles with df ∈ [2, cap]: the pair
+        //    explode feeds a fixed-width (d1,d2) count aggregate — the
+        //    same shuffle volume the old `.distinct()` already paid, now
+        //    yielding the intersection for free. df = 1 shingles cannot
+        //    be shared, so i_uc misses only OVER-cap shared shingles.
+        //  - oc    = per-doc count of over-cap shingles (explode of the
+        //    few dropped hot lists). A pair's full intersection i lies in
+        //    [i_uc, i_uc + min(oc1, oc2)].
+        //  - min(oc1, oc2) = 0 (the overwhelming case): i = i_uc EXACTLY
+        //    — Jaccard from counts, no array verify at all.
+        //  - else: upper-bound prune (jac is monotone in i), then exact
+        //    [[verifyJaccard]] on the survivors — whose docs all have
+        //    oc ≥ 1, so the verify-side shingle projection is computed
+        //    AFTER a semi-join on that tiny id set (the Project stays
+        //    above the join; Catalyst pushes columns down, not compute).
+        // Semantics (and the oracle) are unchanged: same candidate set
+        // (pairs sharing ≥ 1 under-cap shingle), same exact Jaccard over
+        // FULL shingle sets. Measured: sf10 273 s → see docs/SCALING.md
+        // r8; sf1/sf0.1 hash-green before and after.
+        val iUc = uc.select(explode(flatten(
             transform(col("ids"), (x, i) =>
               transform(slice(col("ids"), i + lit(2), size(col("ids"))),
                 y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-          .select(col("p.d1"), col("p.d2")).distinct()
-        verifyJaccard(cand, shingleSets(df, id, text, n), threshold)
+          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .agg(count(lit(1)).as("i_uc"))
+        val sizes = df.select(id.as("id"), tokens(text).as("__tk"))
+          .select(col("id"),
+            size(shinglesOfTokens(col("__tk"), n)).as("n_sh"))
+        val oc = posting.where(size(col("ids")) > cap)
+          .select(explode(col("ids")).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("oc"))
+        val enriched = iUc
+          .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+          .join(oc.select(col("id").as("d1"), col("oc").as("oc1")),
+            Seq("d1"), "left")
+          .join(oc.select(col("id").as("d2"), col("oc").as("oc2")),
+            Seq("d2"), "left")
+          .withColumn("oc_min",
+            least(coalesce(col("oc1"), lit(0L)), coalesce(col("oc2"), lit(0L))))
+        val exact = enriched.where(col("oc_min") === 0)
+          .withColumn("jac", round(col("i_uc") /
+            (col("n1") + col("n2") - col("i_uc")).cast("double"), 4))
+          .where(col("jac") >= threshold)
+          .select(col("d1"), col("d2"), col("jac"))
+        val iMax = least(col("i_uc") + col("oc_min"), least(col("n1"), col("n2")))
+        val maybe = enriched.where(col("oc_min") > 0)
+          .where(round(iMax / (col("n1") + col("n2") - iMax).cast("double"), 4)
+            >= threshold)
+          .select(col("d1"), col("d2"))
+        val vSets = df.select(id.as("id"), text.as("__txt"))
+          .join(oc.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), tokens(col("__txt")).as("__tk"))
+          .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
+        exact.unionByName(verifyJaccard(maybe, vSets, threshold))
     }
   }
 

@@ -65,6 +65,39 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == uncapped) // identical pairs AND identical exact jaccard
   }
 
+  test("df-cap verify leg: over-cap docs sharing under-cap shingles get the " +
+    "exact full-set jaccard; upper-bound survivors that fail exactly are dropped") {
+    // The r8 count-based capped path splits pairs into an exact-from-counts
+    // leg (neither doc has over-cap shingles) and an array-verify leg (both
+    // do). This corpus forces the verify leg BOTH ways. cap = 5.
+    //  - B-boilerplate (docs 1-10 + 100,101,400): its 5 trigrams reach
+    //    df 13 > 5, so docs carrying B have oc > 0.
+    //  - C-boilerplate (docs 11-20 + 401): df 11 > 5.
+    //  - (100,101): share B (over-cap) AND 4 distinctive trigrams
+    //    (df = 2, under-cap) -> candidates via i_uc = 4, verified on FULL
+    //    sets: inter = 5 + 4 = 9, n = 10 each, jac = 9/11 = 0.8182. EMIT.
+    //  - (400,401): different boilerplates (shared over-cap = 0) + ONE
+    //    shared under-cap trigram. i_uc = 1, oc_min = 5 -> upper bound
+    //    min(1+5, 8)/(8+8-6) = 0.6 >= 0.5 passes the prune, but the exact
+    //    jaccard is 1/15 = 0.0667 -> the verify must REJECT it.
+    //  - boiler-only pairs (i,j in 1-10): share ONLY over-cap shingles ->
+    //    not candidates (the documented cap contract), even though their
+    //    full jaccard 5/9 would pass uncapped.
+    val bB = "b1 b2 b3 b4 b5 b6 b7"
+    val bC = "c1 c2 c3 c4 c5 c6 c7"
+    val corpus = (
+      (1 to 10).map(i => (i.toLong, s"$bB f${i}a f${i}b")) ++
+      (11 to 20).map(i => (i.toLong, s"$bC f${i}a f${i}b")) ++
+      Seq((100L, s"$bB x1 x2 x3 x4 x5"),
+          (101L, s"$bB x1 x2 x3 x4 x6"),
+          (400L, s"$bB w1 w2 w3"),
+          (401L, s"$bC w1 w2 w3"))).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+        3, 0.5, maxShingleDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map((100L, 101L) -> 0.8182))
+  }
+
   test("df-cap on the planted-near-dup corpus reproduces the uncapped pairs") {
     val docs001 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def pairs(cap: Option[Int]) =
