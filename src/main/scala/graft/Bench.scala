@@ -7,12 +7,31 @@ object Bench {
     // Shuffle-partition override for scale A/B runs: at sf10 (100 M
     // events / 5 M documents) the cpus-count default leaves >3 M rows
     // per shuffle partition and the wide dedup aggregations spill —
-    // partitions must track DATA VOLUME, not core count (the knob a
-    // real cluster sets via maxPartitionBytes/AQE advisory size).
+    // partitions must track DATA VOLUME, not core count. r8: the
+    // scale-correct default needs no hand-tuning — AQE starts every
+    // shuffle at a high initial partition count and coalesces down to
+    // its advisory size from the MEASURED map output, so sf0.1 runs at
+    // core-count parallelism and sf10 keeps enough reducers not to
+    // spill (measured: q27 93.7 s @32 static → 61.9 s @256 static →
+    // same with this default and no env var). The static
+    // spark.sql.shuffle.partitions stays at core count: it is what the
+    // non-AQE paths (stateful streaming disables AQE) fall back to.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
+    val initialParts =
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "512")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts)
+      // collect_list/collect_set aggregations (posting lists, RRD spans,
+      // JSON series) hold millions of distinct keys per partition; the
+      // stock 128-key ObjectHashAggregate fallback degrades every one of
+      // them to sort-based aggregation. AQE's advisory partition size
+      // bounds per-partition hash-map growth, so a deploy raises the
+      // threshold (measured: q26's posting agg -20 s at sf10).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "262144"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Size-based (NOT forced) broadcast ceiling sized for the deploy

@@ -123,6 +123,10 @@ object TtnFastJson {
       var hasEsc = false
       while (i < n && b(i) != '"') {
         if (b(i) == '\\') { hasEsc = true; i += 1; if (i >= n) throw Malformed }
+        // Raw (unescaped) control bytes < 0x20 are invalid JSON; Jackson
+        // (allowUnquotedControlChars=false, the from_json default)
+        // rejects them by nulling the row (ADVICE r7).
+        else if (b(i) >= 0 && b(i) < 0x20) throw Malformed
         i += 1
       }
       if (i >= n) throw Malformed
@@ -181,18 +185,29 @@ object TtnFastJson {
     }
 
     /** Cursor on the first byte of a number token. Returns (endExclusive)
-      * after validating the JSON number grammar loosely (digits, sign,
-      * dot, exponent). */
+      * after validating the strict JSON number grammar:
+      * '-'? int frac? exp? — leading '+' (JSON allows only '-'), leading
+      * zeros, bare '.', and dangling exponents are all Malformed, exactly
+      * the shapes Jackson rejects by nulling the row (ADVICE r7). */
     def numberEnd(): Int = {
-      val start = i
-      if (i < n && (b(i) == '-' || b(i) == '+')) i += 1
-      var any = false
-      while (i < n && ((b(i) >= '0' && b(i) <= '9') || b(i) == '.' ||
-        b(i) == 'e' || b(i) == 'E' || b(i) == '-' || b(i) == '+')) {
-        if (b(i) >= '0' && b(i) <= '9') any = true
+      if (i < n && b(i) == '-') i += 1
+      val intStart = i
+      while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i == intStart) throw Malformed
+      if (b(intStart) == '0' && i - intStart > 1) throw Malformed
+      if (i < n && b(i) == '.') {
         i += 1
+        val fracStart = i
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == fracStart) throw Malformed
       }
-      if (!any || i == start) throw Malformed
+      if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+        i += 1
+        if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+        val expStart = i
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == expStart) throw Malformed
+      }
       i
     }
 
@@ -200,7 +215,7 @@ object TtnFastJson {
       * non-number token after skipping it. */
     def parseDoubleOrSkip(): java.lang.Double = {
       ws()
-      if (i < n && (b(i) == '-' || b(i) == '+' || (b(i) >= '0' && b(i) <= '9'))) {
+      if (i < n && (b(i) == '-' || (b(i) >= '0' && b(i) <= '9'))) {
         val start = i
         val end = numberEnd()
         java.lang.Double.valueOf(java.lang.Double.parseDouble(
@@ -209,24 +224,40 @@ object TtnFastJson {
       else { skipValue(); null }
     }
 
-    /** Parse a JSON integral number as Long; null on non-integral. */
+    /** Parse a JSON integral number as Long. A NUMBER token that is not
+      * integral (fraction/exponent), or one that overflows Long, is
+      * Malformed: Jackson's integral coercion failure nulls the whole
+      * row under PERMISSIVE (`Long.parseLong` throwing on overflow gives
+      * the same row-null through the outer catch). Non-number tokens
+      * null the field — the documented string/number-mismatch
+      * divergence. */
     def parseLongOrSkip(): java.lang.Long = {
       ws()
       if (i < n && (b(i) == '-' || (b(i) >= '0' && b(i) <= '9'))) {
         val start = i
         val end = numberEnd()
-        var integral = true
         var k = start
         while (k < end) {
           val c = b(k)
-          if (c == '.' || c == 'e' || c == 'E') integral = false
+          if (c == '.' || c == 'e' || c == 'E') throw Malformed
           k += 1
         }
-        if (!integral) null
-        else java.lang.Long.valueOf(java.lang.Long.parseLong(
+        java.lang.Long.valueOf(java.lang.Long.parseLong(
           new String(b, start, end - start, java.nio.charset.StandardCharsets.US_ASCII)))
       } else if (isNullToken()) null
       else { skipValue(); null }
+    }
+
+    /** Parse an IntegerType-bound JSON number. A value outside Int range
+      * is Malformed — the Jackson path's IntegerType coercion failure
+      * nulls the ENTIRE envelope row under PERMISSIVE, so the native
+      * parser must too (ADVICE r7), and it must fire per-field (a bad v2
+      * `port` kills the row even when v3 `f_port` is fine). */
+    def parseIntRangeOrSkip(): java.lang.Long = {
+      val v = parseLongOrSkip()
+      if (v != null && (v.longValue > Int.MaxValue || v.longValue < Int.MinValue))
+        throw Malformed
+      v
     }
 
     def parseStringOrSkip(): UTF8String = {
@@ -279,7 +310,7 @@ object TtnFastJson {
           if (i + 4 < n && b(i + 1) == 'a' && b(i + 2) == 'l' && b(i + 3) == 's' && b(i + 4) == 'e') i += 5
           else throw Malformed
         case 'n' => if (!isNullToken()) throw Malformed
-        case c if c == '-' || c == '+' || (c >= '0' && c <= '9') => numberEnd(); ()
+        case c if c == '-' || (c >= '0' && c <= '9') => numberEnd(); ()
         case _ => throw Malformed
       }
     }
@@ -371,11 +402,17 @@ object TtnFastJson {
     parseObject { key =>
       if (key.equals(K_APP_ID)) v2App = parseStringOrSkip()
       else if (key.equals(K_DEV_ID)) v2Dev = parseStringOrSkip()
-      else if (key.equals(K_PORT)) v2Port = parseLongOrSkip()
+      else if (key.equals(K_PORT)) v2Port = parseIntRangeOrSkip()
       else if (key.equals(K_COUNTER)) v2Cnt = parseLongOrSkip()
       else if (key.equals(K_PAYLOAD_RAW)) v2Pay = parseStringOrSkip()
       else if (key.equals(K_RECEIVED_AT)) receivedAt = parseStringOrSkip()
+      // Object-typed branches RESET their extraction state on every
+      // occurrence: Jackson converts each duplicate occurrence wholesale
+      // and the last one wins, so subfields from an earlier occurrence
+      // must not survive a later '"metadata": null' or a later object
+      // that omits them (ADVICE r7).
       else if (key.equals(K_METADATA)) {
+        metaTime = null; v2Gws = null
         if (!nullBranch()) {
           if (i < n && b(i) == '{') parseObject { k =>
             if (k.equals(K_TIME)) metaTime = parseStringOrSkip()
@@ -384,10 +421,12 @@ object TtnFastJson {
           } else skipValue()
         }
       } else if (key.equals(K_END_DEVICE_IDS)) {
+        v3Dev = null; v3App = null
         if (!nullBranch()) {
           if (i < n && b(i) == '{') parseObject { k =>
             if (k.equals(K_DEVICE_ID)) v3Dev = parseStringOrSkip()
             else if (k.equals(K_APPLICATION_IDS)) {
+              v3App = null
               if (!nullBranch()) {
                 if (i < n && b(i) == '{') parseObject { kk =>
                   if (kk.equals(K_APPLICATION_ID)) v3App = parseStringOrSkip()
@@ -398,11 +437,12 @@ object TtnFastJson {
           } else skipValue()
         }
       } else if (key.equals(K_UPLINK_MESSAGE)) {
+        umSeen = false; v3Port = null; v3Cnt = null; v3Pay = null; v3Gws = null
         if (!nullBranch()) {
           if (i < n && b(i) == '{') {
             umSeen = true
             parseObject { k =>
-              if (k.equals(K_F_PORT)) v3Port = parseLongOrSkip()
+              if (k.equals(K_F_PORT)) v3Port = parseIntRangeOrSkip()
               else if (k.equals(K_F_CNT)) v3Cnt = parseLongOrSkip()
               else if (k.equals(K_FRM_PAYLOAD)) v3Pay = parseStringOrSkip()
               else if (k.equals(K_RX_METADATA)) v3Gws = parseGwArray(v3 = true)
@@ -420,10 +460,8 @@ object TtnFastJson {
     new GenericInternalRow(Array[Any](
       if (v3App != null) v3App else v2App,
       if (v3Dev != null) v3Dev else v2Dev,
-      if (port == null) null else {
-        val v = port.longValue
-        if (v >= Int.MinValue && v <= Int.MaxValue) Int.box(v.toInt) else null
-      },
+      // always in Int range: parseIntRangeOrSkip threw otherwise
+      if (port == null) null else Int.box(port.longValue.toInt),
       if (v3Cnt != null) v3Cnt else v2Cnt,
       if (v3Pay != null) v3Pay else v2Pay,
       if (metaTime != null) metaTime else receivedAt,

@@ -108,7 +108,15 @@ class TtnFastJsonSpec extends AnyFunSuite {
     val base = fs.result()
     val withDup = if (rnd.nextInt(6) == 0 && base.exists(_._1 == "app_id"))
       base :+ ("app_id" -> strVal(rnd)) else base
-    jObj(rnd, withDup) // NB jObj shuffles; dup order then varies — see filter below
+    // duplicate OBJECT-typed key (ADVICE r7): Jackson converts each
+    // occurrence wholesale and the last wins — an earlier metadata's
+    // time/gateways must not survive a later '"metadata": null' or a
+    // later object that omits them
+    val withObjDup = if (rnd.nextInt(5) == 0 && withDup.exists(_._1 == "metadata"))
+      withDup :+ ("metadata" -> (if (rnd.nextInt(2) == 0) "null"
+        else jObj(rnd, Seq("time" -> q("2024-06-01T00:00:00Z")))))
+      else withDup
+    jObj(rnd, withObjDup) // NB jObj shuffles; dup order then varies — see filter below
   }
 
   private def v3Envelope(rnd: Random): String = {
@@ -135,14 +143,37 @@ class TtnFastJsonSpec extends AnyFunSuite {
          .++= (if (rnd.nextInt(3) == 0) Seq("settings" -> junk(rnd)) else Nil)
          .result()))
     if (rnd.nextInt(4) == 0) fs += "correlation_ids" -> junk(rnd)
-    jObj(rnd, fs.result())
+    // duplicate OBJECT-typed keys (ADVICE r7): last occurrence wins
+    // wholesale — subfields of an earlier uplink_message/end_device_ids
+    // must not leak past a later null or a later sparser object
+    val base = fs.result()
+    val d1 = if (rnd.nextInt(5) == 0 && base.exists(_._1 == "uplink_message"))
+      base :+ ("uplink_message" -> (if (rnd.nextInt(2) == 0) "null"
+        else jObj(rnd, Seq("f_port" -> rnd.nextInt(300).toString))))
+      else base
+    val d2 = if (rnd.nextInt(5) == 0 && d1.exists(_._1 == "end_device_ids"))
+      d1 :+ ("end_device_ids" -> (if (rnd.nextInt(2) == 0) "null"
+        else jObj(rnd, Seq("application_ids" ->
+          jObj(rnd, Seq("application_id" -> strVal(rnd)))))))
+      else d1
+    jObj(rnd, d2)
   }
 
-  private def malformed(rnd: Random): String = rnd.nextInt(5) match {
+  private def malformed(rnd: Random): String = rnd.nextInt(12) match {
     case 0 => """{"app_id":"x""""                 // truncated
     case 1 => """{"app_id":"x"} trailing"""       // trailing garbage
     case 2 => """[1,2,3]"""                       // non-object top level
     case 3 => """{"port":}"""                     // missing value
+    // ADVICE r7 strictness shapes — each must null the row in BOTH
+    // engines (the differential test adjudicates):
+    case 4 => s"""{"port": +${rnd.nextInt(9) + 1}}"""      // leading '+'
+    case 5 => """{"metadata":{"gateways":[{"rssi": +1.5}]}}"""
+    case 6 => // raw (unescaped) control byte inside a string
+      "{\"app_id\":\"a" + 1.toChar + "b\"}"
+    case 7 => """{"port": 007}"""                 // leading zeros
+    case 8 => s"""{"counter": ${rnd.nextInt(100)}.5}"""    // float in integral
+    case 9 => """{"port": 2147483648}"""          // out of Int range
+    case 10 => """{"counter": 99999999999999999999}"""     // Long overflow
     case _ => """not json at all"""
   }
 
