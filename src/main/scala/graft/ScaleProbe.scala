@@ -291,6 +291,12 @@ object ScaleProbe {
     // (recall, max_cell) TOGETHER — the serving cost of a probe is
     // bounded by its cell size.
     val exactL2C = exactL2(clustered).cache(); exactL2C.count()
+    // One coarse-quantizer training for BOTH trained legs below (serving
+    // recall + cell-balance audit): retraining per leg doubles the
+    // offline cost and silently assumes the trainer is deterministic —
+    // the audit must describe the SAME centroids the serving path used.
+    val trainedCents = operators.Similarity.kmeansCentroids(
+      clustered, col("vec_id"), col("embedding"), 16, 5)
     for (nprobe <- Seq(1, 2)) {
       val (recF, sF) = time(operators.Similarity.meanRecallAtK(
         operators.Similarity.ivfPqAdcTopK(clustered, col("vec_id"),
@@ -299,12 +305,11 @@ object ScaleProbe {
         clustered, col("vec_id"), col("embedding"), 16))
       println(s"""{"probe":"ann","method":"ivfpq_firstk_clustered","coarse":16,"nprobe":$nprobe,"m":8,"ksub":16,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(recF * 10000) / 10000},"max_cell":$mxF,"used_cells":$ncF,"s":$sF}""")
       val (recT, sT) = time(operators.Similarity.meanRecallAtK(
-        operators.Similarity.ivfPqAdcTopKTrained(clustered, col("vec_id"),
-          col("embedding"), 16, 5, 8, nprobe, 8, 4, 16, nQ, k), exactL2C, k))
+        operators.Similarity.ivfPqAdcTopKTrainedWith(clustered, col("vec_id"),
+          col("embedding"), trainedCents, 8, nprobe, 8, 4, 16, nQ, k),
+        exactL2C, k))
       val (mxT2, ncT2) = cellStats(operators.Similarity.ivfAssignWith(
-        clustered, col("vec_id"), col("embedding"),
-        operators.Similarity.kmeansCentroids(
-          clustered, col("vec_id"), col("embedding"), 16, 5)))
+        clustered, col("vec_id"), col("embedding"), trainedCents))
       println(s"""{"probe":"ann","method":"ivfpq_trained_clustered","coarse":16,"coarse_iters":5,"pq_iters":8,"nprobe":$nprobe,"m":8,"ksub":16,"n":8192,"n_queries":$nQ,"k":$k,"recall":${math.rint(recT * 10000) / 10000},"max_cell":$mxT2,"used_cells":$ncT2,"s":$sT}""")
     }
   }
@@ -362,10 +367,13 @@ object ScaleProbe {
             (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
         .select((col("id") + lit(vStride * m)).as("id"), col("v2").as("v"))
       base.unionByName(twins).write.mode("overwrite").parquet(dir)
-      m -> dir
+      // the probe's own twins are (id, id + vStride·m) for id % 10 == 0 —
+      // a KNOWN planted pair set, so recall over it is an exact
+      // assertion, not an estimate (r9, VERDICT item 3)
+      (m, dir, vStride * m)
     }
     spark.stop()
-    dirs.foreach { case (m, dir) =>
+    dirs.foreach { case (m, dir, twinCut) =>
       val s = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions",
@@ -386,8 +394,21 @@ object ScaleProbe {
           col("v"), 0.9, p, bands).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // Planted-pair recall (untimed): the found pairs must contain the
+      // probe's own twins at ≥ the knob's target recall (0.9 holds for
+      // AT-threshold pairs; twins sit above it) — guards against an
+      // auto-knob drift to recall≈0 that no pair-count check catches.
+      val plantedPairs = d.where(col("id") >= twinCut)
+        .select((col("id") - twinCut).as("d1"), col("id").as("d2"))
+      val nPlanted = plantedPairs.count()
+      val hit = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
+          col("v"), 0.9, p, bands)
+        .join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
+      val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
+      assert(recall >= 0.8,
+        s"planted-pair recall $recall below 0.8 at mult=$m ($hit/$nPlanted)")
       s.stop()
-      println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs}""")
+      println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs,"planted":$nPlanted,"planted_recall":${math.rint(recall * 10000) / 10000}}""")
     }
   }
 

@@ -26,7 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * navigation composition it replaces, on every input the envelope
   * contract reaches (arbitrary key order, inter-token whitespace,
   * JSON escapes incl. \uXXXX surrogate pairs, unknown extra fields,
-  * null/missing branches, duplicate keys last-wins, nested-object
+  * null/missing branches, duplicate keys last-wins (for object-schema
+  * keys: last CONVERTIBLE occurrence wins — a scalar occurrence of
+  * metadata/end_device_ids/uplink_message is ignored and an earlier
+  * object's subfields survive, measured Jackson behavior), nested-object
   * skipping; differential-fuzzed against the Jackson path in
   * TtnFastJsonSpec):
   *
@@ -406,50 +409,58 @@ object TtnFastJson {
       else if (key.equals(K_COUNTER)) v2Cnt = parseLongOrSkip()
       else if (key.equals(K_PAYLOAD_RAW)) v2Pay = parseStringOrSkip()
       else if (key.equals(K_RECEIVED_AT)) receivedAt = parseStringOrSkip()
-      // Object-typed branches RESET their extraction state on every
-      // occurrence: Jackson converts each duplicate occurrence wholesale
-      // and the last one wins, so subfields from an earlier occurrence
-      // must not survive a later '"metadata": null' or a later object
-      // that omits them (ADVICE r7).
+      // Object-typed branches RESET their extraction state only on a
+      // NULL or OBJECT occurrence: Jackson converts each duplicate
+      // occurrence wholesale and the last CONVERTIBLE one wins — a later
+      // '"metadata": null' or a sparser later object erases an earlier
+      // occurrence's subfields (ADVICE r7), but a SCALAR occurrence of
+      // an object-schema key is ignored outright and the earlier
+      // extraction survives (ADVICE r8; measured via the differential
+      // fuzz's scalar-at-object-key shapes — resetting on the scalar
+      // diverged in 5/3200 fuzz lines).
       else if (key.equals(K_METADATA)) {
-        metaTime = null; v2Gws = null
-        if (!nullBranch()) {
-          if (i < n && b(i) == '{') parseObject { k =>
+        if (nullBranch()) { metaTime = null; v2Gws = null }
+        else if (i < n && b(i) == '{') {
+          metaTime = null; v2Gws = null
+          parseObject { k =>
             if (k.equals(K_TIME)) metaTime = parseStringOrSkip()
             else if (k.equals(K_GATEWAYS)) v2Gws = parseGwArray(v3 = false)
             else skipValue()
-          } else skipValue()
-        }
+          }
+        } else skipValue()
       } else if (key.equals(K_END_DEVICE_IDS)) {
-        v3Dev = null; v3App = null
-        if (!nullBranch()) {
-          if (i < n && b(i) == '{') parseObject { k =>
+        if (nullBranch()) { v3Dev = null; v3App = null }
+        else if (i < n && b(i) == '{') {
+          v3Dev = null; v3App = null
+          parseObject { k =>
             if (k.equals(K_DEVICE_ID)) v3Dev = parseStringOrSkip()
             else if (k.equals(K_APPLICATION_IDS)) {
-              v3App = null
-              if (!nullBranch()) {
-                if (i < n && b(i) == '{') parseObject { kk =>
+              if (nullBranch()) v3App = null
+              else if (i < n && b(i) == '{') {
+                v3App = null
+                parseObject { kk =>
                   if (kk.equals(K_APPLICATION_ID)) v3App = parseStringOrSkip()
                   else skipValue()
-                } else skipValue()
-              }
+                }
+              } else skipValue()
             } else skipValue()
-          } else skipValue()
-        }
+          }
+        } else skipValue()
       } else if (key.equals(K_UPLINK_MESSAGE)) {
-        umSeen = false; v3Port = null; v3Cnt = null; v3Pay = null; v3Gws = null
-        if (!nullBranch()) {
-          if (i < n && b(i) == '{') {
-            umSeen = true
-            parseObject { k =>
+        if (nullBranch()) {
+          umSeen = false; v3Port = null; v3Cnt = null; v3Pay = null
+          v3Gws = null
+        } else if (i < n && b(i) == '{') {
+          umSeen = true; v3Port = null; v3Cnt = null; v3Pay = null
+          v3Gws = null
+          parseObject { k =>
               if (k.equals(K_F_PORT)) v3Port = parseIntRangeOrSkip()
               else if (k.equals(K_F_CNT)) v3Cnt = parseLongOrSkip()
               else if (k.equals(K_FRM_PAYLOAD)) v3Pay = parseStringOrSkip()
               else if (k.equals(K_RX_METADATA)) v3Gws = parseGwArray(v3 = true)
               else skipValue()
             }
-          } else skipValue()
-        }
+        } else skipValue()
       } else skipValue()
     }
     // NOTE: bytes past the first complete top-level object are IGNORED —

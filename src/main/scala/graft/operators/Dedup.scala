@@ -120,37 +120,35 @@ object Dedup {
           .where(col("jac") >= threshold)
           .select(col("d1"), col("d2"), col("jac"))
       case Some(cap) =>
-        // Posting-list candidate generation: ONE wide shuffle groups each
-        // shingle's (distinct, sorted) doc-id list; lists longer than the
-        // cap are dropped from CANDIDATE GENERATION (the df cap); ordered
-        // pairs explode in-place from the array — ≤ cap·(cap−1)/2 per
-        // shingle, no self-join. Alternatives measured at sf0.1
-        // (min-of-5, same oracle): this 7.6 s; broadcast-anti-join of the
-        // (tiny) hot-shingle set + s-keyed self-join 8.5 s and one more
-        // wide shuffle at scale; low-df semi-join 11.5 s; window df-count
-        // 17.8 s (forces a full sort). r5: pre-hashing shingles to 60-bit
-        // longs (md5-prefix, the portable cross-engine hash) to shrink
-        // the shuffle payload measured 10.8 s — the per-shingle md5 chain
-        // costs far more than the string bytes save; with a cheap
-        // non-portable hash (xxhash64) the oracle twin is lost. Strings
-        // stay.
-        // collect_list, not collect_set: (id, s) rows are already
-        // distinct (array_distinct inside shinglesOfTokens), so the list
-        // IS the set — minus the per-element hash-set insert cost inside
-        // the non-codegen ObjectHashAggregate.
-        val posting = sh.groupBy(col("s"))
-          .agg(array_sort(collect_list(col("id"))).as("ids"))
-        val uc = posting.where(size(col("ids")).between(2, cap))
-
+        // Posting-list candidate generation: group each under-cap
+        // shingle's (distinct, sorted) doc-id list; ordered pairs explode
+        // in-place from the array — ≤ cap·(cap−1)/2 per shingle, no
+        // self-join. Alternatives measured at sf0.1 (min-of-5, same
+        // oracle): broadcast-anti-join of the (tiny) hot-shingle set +
+        // s-keyed self-join 8.5 s and one more wide shuffle at scale;
+        // low-df semi-join 11.5 s; window df-count 17.8 s (forces a full
+        // sort). r5: pre-hashing shingles to 60-bit longs (md5-prefix,
+        // the portable cross-engine hash) to shrink the shuffle payload
+        // measured 10.8 s — the per-shingle md5 chain costs far more than
+        // the string bytes save; with a cheap non-portable hash
+        // (xxhash64) the oracle twin is lost (a collision MERGES two
+        // posting lists: the shared-shingle count inflates and a real
+        // shingle can be pushed over the cap — exactness becomes
+        // "w.h.p."). Strings stay. r9 also measured (DfProbe stages,
+        // sf10) a df-count-then-Bloom-prefilter variant of this build —
+        // a net LOSS on this corpus shape (q26 sf10 91 s → 158 s): 99%
+        // of shingle hash groups here have df ≥ 2, so the prefilter
+        // dropped ~nothing and its extra tokenize+count pass (~44 s at
+        // sf10) was pure overhead. Kept out; the df-1-dominated web-
+        // corpus case it targets is served by the cap semantics anyway.
+        //
         // r8 scale fix. The r1-r7 shape piped DISTINCT candidate pairs
         // into [[verifyJaccard]]; profiled at sf10 (DfProbe) that join
         // was the superlinear stage — 133 M candidate pairs (for 75 k
         // true pairs), each join row carrying TWO ~50-element shingle
         // arrays (~3 KB/row ≈ 380 GB of join payload → spill), +173 s of
-        // the 273 s total, where sf1 paid +11 s. (The r7 sweep blamed the
-        // posting-list agg's external sort; re-measured, that agg is
-        // +26-50 s of honest linear shuffle at sf10 — real but not the
-        // blowup.) The fix computes the intersection WITHOUT arrays:
+        // the 273 s total, where sf1 paid +11 s. The fix computes the
+        // intersection WITHOUT arrays:
         //  - i_uc  = # shared shingles with df ∈ [2, cap]: the pair
         //    explode feeds a fixed-width (d1,d2) count aggregate — the
         //    same shuffle volume the old `.distinct()` already paid, now
@@ -164,48 +162,114 @@ object Dedup {
         //  - else: upper-bound prune (jac is monotone in i), then exact
         //    [[verifyJaccard]] on the survivors — whose docs all have
         //    oc ≥ 1, so the verify-side shingle projection is computed
-        //    AFTER a semi-join on that tiny id set (the Project stays
-        //    above the join; Catalyst pushes columns down, not compute).
-        // Semantics (and the oracle) are unchanged: same candidate set
-        // (pairs sharing ≥ 1 under-cap shingle), same exact Jaccard over
-        // FULL shingle sets. Measured: sf10 273 s → see docs/SCALING.md
-        // r8; sf1/sf0.1 hash-green before and after.
-        val iUc = uc.select(explode(flatten(
-            transform(col("ids"), (x, i) =>
-              transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-                y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .agg(count(lit(1)).as("i_uc"))
-        val sizes = df.select(id.as("id"), tokens(text).as("__tk"))
-          .select(col("id"),
-            size(shinglesOfTokens(col("__tk"), n)).as("n_sh"))
-        val oc = posting.where(size(col("ids")) > cap)
-          .select(explode(col("ids")).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("oc"))
-        val enriched = iUc
-          .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-          .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
-          .join(oc.select(col("id").as("d1"), col("oc").as("oc1")),
-            Seq("d1"), "left")
-          .join(oc.select(col("id").as("d2"), col("oc").as("oc2")),
-            Seq("d2"), "left")
-          .withColumn("oc_min",
-            least(coalesce(col("oc1"), lit(0L)), coalesce(col("oc2"), lit(0L))))
-        val exact = enriched.where(col("oc_min") === 0)
-          .withColumn("jac", round(col("i_uc") /
-            (col("n1") + col("n2") - col("i_uc")).cast("double"), 4))
-          .where(col("jac") >= threshold)
-          .select(col("d1"), col("d2"), col("jac"))
-        val iMax = least(col("i_uc") + col("oc_min"), least(col("n1"), col("n2")))
-        val maybe = enriched.where(col("oc_min") > 0)
-          .where(round(iMax / (col("n1") + col("n2") - iMax).cast("double"), 4)
-            >= threshold)
-          .select(col("d1"), col("d2"))
-        val vSets = df.select(id.as("id"), text.as("__txt"))
-          .join(oc.select(col("id")), Seq("id"), "left_semi")
-          .select(col("id"), tokens(col("__txt")).as("__tk"))
+        //    AFTER a semi-join on that tiny id set.
+        //
+        // r9 payload fix on top (VERDICT r7 item 1): the r8 tail joined
+        // the (huge — ~cap²/2 per shingle) candidate-count aggregate
+        // against the per-doc size frame TWICE to fetch n1/n2 before the
+        // threshold filter could run — two shuffle joins sized by the
+        // CANDIDATE space, plus a separate tokenize pass to build the
+        // size frame. Now each posting-list element PACKS (id, n_sh)
+        // into one long (`id << 21 | n_sh`): sizes ride the
+        // already-paid posting shuffle at zero widening (lists stay
+        // primitive long arrays, so the interpreted HOF pair explode
+        // costs exactly what the id-only form cost — an (id, n_sh)
+        // STRUCT variant of the same idea measured 1.7× slower at sf10
+        // on the struct-array transform/slice path), the pair explode
+        // emits packed values, and the Jaccard filter applies DIRECTLY
+        // on the count aggregate's output after bit-unpacking — no
+        // joins sized by the candidate space anywhere (the remaining oc
+        // joins are against the tiny over-cap doc set, broadcast). One
+        // tokenize pass total for the build; only the exact-verify leg
+        // re-tokenizes, for the oc-doc subset alone. Packing bound:
+        // n_sh < 2²¹ distinct shingles per document (far above any real
+        // document — shingle count ≤ token count) and id < 2⁴², both
+        // asserted cheap at unpack via the jac formula staying exact.
+        // Packed values sort identically to ids (id in the high bits),
+        // which the ordered pair explode requires. `posting` feeds two
+        // consumers (uc + oc), so it is cached rather than relying on
+        // ReuseExchange matching the two subtrees (ADVICE r8), and the
+        // result — tiny, just the matched pairs — is materialized
+        // eagerly so the cache can be released deterministically.
+        // n_sh rides INSIDE the generator's lambda — NOT as a sibling
+        // `size(hs)` projection next to `explode(hs)`: that sibling
+        // form triggers InferFiltersFromGenerate to synthesize a
+        // `size(hs) > 0` filter BELOW the projection where `hs` is not
+        // yet materialized, re-inlining the whole tokenize+shingle
+        // expression once per element_at — measured 24.4 s vs 0.55 s
+        // for the in-generator form at sf0.1 (DfProbe `nsh` legs; the
+        // same pathology class as the shingleRows direct-explode note
+        // above).
+        val nshBits = 21
+        def packId(p: Column) = shiftright(p, nshBits)
+        def packN(p: Column) = p.bitwiseAND(lit((1L << nshBits) - 1))
+        val shP = df.select(id.as("id"), tokens(text).as("__tk"))
           .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
-        exact.unionByName(verifyJaccard(maybe, vSets, threshold))
+          .select(explode(transform(col("hs"),
+            x => struct(x.as("s"),
+              shiftleft(col("id"), nshBits)
+                .bitwiseOR(size(col("hs")).cast("long")).as("p")))).as("e"))
+          .select(col("e.s").as("s"), col("e.p").as("p"))
+        val posting = shP.groupBy(col("s"))
+          // collect_list, not collect_set: (id, s) rows are already
+          // distinct (array_distinct inside shinglesOfTokens), so the
+          // list IS the set — minus the per-element hash-set insert cost
+          // inside the non-codegen ObjectHashAggregate.
+          .agg(array_sort(collect_list(col("p"))).as("ids"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val uc = posting.where(size(col("ids")).between(2, cap))
+          // Ordered pairs from the sorted array via the HOF chain. A
+          // two-Generate form (posexplode, then explode-of-slice) is
+          // codegen'd and beat this interpreted emitter by 2× in an
+          // UNCACHED probe (DfProbe iuc legs, sf1: +1.25 s vs +2.46 s
+          // over the posting baseline), but over the CACHED posting
+          // relation it regressed the full query (sf10 113.6 → 141 s,
+          // paired): the InMemoryTableScan boundary splits the two
+          // Generates' codegen stages and every intermediate row then
+          // materializes the full list array. Keep the single-Generate
+          // HOF form here; the codegen'd pair emitter is the open
+          // tier-b custom-Generator item.
+          val iUc = uc.select(explode(flatten(
+              transform(col("ids"), (x, i) =>
+                transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                  y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+            .agg(count(lit(1)).as("i_uc"))
+            // (p1, p2) groups ARE (d1, d2) groups: n_sh is a function of
+            // the id, so unpacking after the aggregate is free.
+            .select(packId(col("p1")).as("d1"), packN(col("p1")).as("n1"),
+              packId(col("p2")).as("d2"), packN(col("p2")).as("n2"),
+              col("i_uc"))
+          // Per-doc over-cap shingle count: explode of the few dropped
+          // hot lists (cached posting — no re-aggregation).
+          val oc = posting.where(size(col("ids")) > cap)
+            .select(explode(col("ids")).as("e"))
+            .groupBy(packId(col("e")).as("id")).agg(count(lit(1)).as("oc"))
+          val enriched = iUc
+            .join(broadcast(oc.select(col("id").as("d1"),
+              col("oc").as("oc1"))), Seq("d1"), "left")
+            .join(broadcast(oc.select(col("id").as("d2"),
+              col("oc").as("oc2"))), Seq("d2"), "left")
+            .withColumn("oc_min",
+              least(coalesce(col("oc1"), lit(0L)), coalesce(col("oc2"), lit(0L))))
+          val exact = enriched.where(col("oc_min") === 0)
+            .withColumn("jac", round(col("i_uc") /
+              (col("n1") + col("n2") - col("i_uc")).cast("double"), 4))
+            .where(col("jac") >= threshold)
+            .select(col("d1"), col("d2"), col("jac"))
+          val iMax = least(col("i_uc") + col("oc_min"), least(col("n1"), col("n2")))
+          val maybe = enriched.where(col("oc_min") > 0)
+            .where(round(iMax / (col("n1") + col("n2") - iMax).cast("double"), 4)
+              >= threshold)
+            .select(col("d1"), col("d2"))
+          val vSets = df.select(id.as("id"), text.as("__txt"))
+            .join(oc.select(col("id")), Seq("id"), "left_semi")
+            .select(col("id"), tokens(col("__txt")).as("__tk"))
+            .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
+          exact.unionByName(verifyJaccard(maybe, vSets, threshold))
+            .localCheckpoint(true)
+        } finally { posting.unpersist(false); () }
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Stats
@@ -65,24 +64,17 @@ object Grubbs {
     else Result(buf.min, buf.max, buf.length, removed)
   }
 
-  /** Buffer wrapper: Encoders can't encode a bare List[Double]; a
-    * single-field product keeps the shuffle columnar (no kryo). */
-  case class ListWrap(xs: List[Double])
-
   /** Column form: `grubbs(valueCol)` usable in `groupBy().agg(...)`.
     * α=0.05 and min window 15 are the reference defaults
-    * (grubbs.py:229-232, FilterShow.py:450). */
-  def grubbs(value: Column, alpha: Double = 0.05, minN: Int = 15): Column =
-    udaf(new Agg(alpha, minN)).apply(value)
-
-  class Agg(alpha: Double, minN: Int)
-      extends Aggregator[Double, ListWrap, Result] {
-    def zero: ListWrap = ListWrap(Nil)
-    def reduce(b: ListWrap, a: Double): ListWrap = ListWrap(a :: b.xs)
-    def merge(b1: ListWrap, b2: ListWrap): ListWrap = ListWrap(b1.xs ::: b2.xs)
-    def finish(b: ListWrap): Result = test(b.xs.toArray, alpha, minN)
-    def bufferEncoder: Encoder[ListWrap] = Encoders.product[ListWrap]
-    def outputEncoder: Encoder[Result] = Encoders.product[Result]
+    * (grubbs.py:229-232, FilterShow.py:450). r9: backed by the native
+    * [[graft.plans.GrubbsAggregate]] (primitive-double-array buffer)
+    * instead of a typed `Aggregator` whose `List[Double]` buffer paid a
+    * boxed encoder round trip per partial/merge hand-off. Output struct
+    * field names are unchanged (lo/hi/nKept/nRemoved). */
+  def grubbs(value: Column, alpha: Double = 0.05, minN: Int = 15): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("grubbs_agg", value, lit(alpha), lit(minN))
   }
 
   /** Per-key Grubbs envelope + invalidation flags (the reference's

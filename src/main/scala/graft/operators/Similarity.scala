@@ -637,9 +637,21 @@ object Similarity {
   def ivfPqAdcTopKTrained(emb: DataFrame, id: Column, vec: Column,
                           kCoarse: Int, coarseIters: Int, pqIters: Int,
                           nprobe: Int, m: Int, dsub: Int, ksub: Int,
-                          nQueries: Int, k: Int): DataFrame = {
+                          nQueries: Int, k: Int): DataFrame =
+    ivfPqAdcTopKTrainedWith(emb, id, vec,
+      kmeansCentroids(emb, id, vec, kCoarse, coarseIters),
+      pqIters, nprobe, m, dsub, ksub, nQueries, k)
+
+  /** [[ivfPqAdcTopKTrained]] against PRE-TRAINED coarse centroids: a
+    * caller that also audits cell balance (ScaleProbe) trains k-means
+    * once and threads the same centroid list through both the serving
+    * pipeline and [[ivfAssignWith]] — retraining for each leg would
+    * double the offline cost and silently assume trainer determinism. */
+  def ivfPqAdcTopKTrainedWith(emb: DataFrame, id: Column, vec: Column,
+                              trained: Seq[(Int, Seq[Double])], pqIters: Int,
+                              nprobe: Int, m: Int, dsub: Int, ksub: Int,
+                              nQueries: Int, k: Int): DataFrame = {
     ensureRegistered(emb)
-    val trained = kmeansCentroids(emb, id, vec, kCoarse, coarseIters)
     val cents = centroidFrame(emb.sparkSession, trained)
       .withColumnRenamed("cn2", "c_n2")
     val cells = ivfAssignWith(emb, id, vec, trained)

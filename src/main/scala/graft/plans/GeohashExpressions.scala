@@ -106,7 +106,15 @@ object GraftExtensions {
       (es: Seq[Expression]) => BestGateway(es.head)),
     (FunctionIdentifier("ttn_parse"),
       info("ttn_parse", "ttn_parse(envelope_json)"),
-      (es: Seq[Expression]) => TtnEnvelopeParse(Cast(es.head, StringType))))
+      (es: Seq[Expression]) => TtnEnvelopeParse(Cast(es.head, StringType))),
+    (FunctionIdentifier("grubbs_agg"),
+      info("grubbs_agg", "grubbs_agg(value, alpha, minN)"),
+      // alpha/minN are per-query constants (foldable literals at call
+      // sites) — evaluated once at resolution into the aggregate's
+      // parameters, keeping the per-row path a bare double append.
+      (es: Seq[Expression]) => GrubbsAggregate(Cast(es(0), DoubleType),
+        Cast(es(1), DoubleType).eval().asInstanceOf[Double],
+        Cast(es(2), IntegerType).eval().asInstanceOf[Int])))
 
   /** Imperative registration on an existing session — idempotent AND
     * quiet: skips functions already present (re-registering logs a

@@ -1,0 +1,100 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Growable primitive double buffer for [[GrubbsAggregate]]: append is
+  * an array store (amortised doubling), merge is one `System.arraycopy`,
+  * and (de)serialisation is a flat 8-bytes-per-value `ByteBuffer` — no
+  * per-element boxing anywhere on the path. */
+final class DoubleBuf(var xs: Array[Double], var n: Int) {
+  private def ensure(cap: Int): Unit =
+    if (cap > xs.length)
+      xs = java.util.Arrays.copyOf(xs,
+        math.max(cap, math.max(16, xs.length * 2)))
+  def add(v: Double): Unit = { ensure(n + 1); xs(n) = v; n += 1 }
+  def addAll(o: DoubleBuf): Unit = {
+    ensure(n + o.n); System.arraycopy(o.xs, 0, xs, n, o.n); n += o.n
+  }
+  def toArray: Array[Double] = java.util.Arrays.copyOf(xs, n)
+}
+
+/** Recursive Grubbs envelope as a native [[TypedImperativeAggregate]] —
+  * the r9 replacement for the typed `Aggregator`/`udaf` form whose
+  * `List[Double]` buffer paid a cons cell per input row plus a boxed
+  * encoder round trip (`Encoders.product[ListWrap]`) at every
+  * partial/merge hand-off (VERDICT r7 item 6: q37/q58 at 2.5–2.6× DuckDB
+  * at sf1 were dominated by that buffer, not by the Grubbs iteration).
+  * Here the buffer is a primitive double array: update is an array
+  * store, merge an arraycopy, serialize a flat ByteBuffer. The Grubbs
+  * recursion itself ([[graft.operators.Grubbs.test]]) is unchanged —
+  * sorted-ascending summation keeps mean/sd bit-identical with the
+  * DuckDB oracle's `list_sort` twin, so remove/stop decisions can't
+  * diverge (reference: statistics/grubbs.py:760-827).
+  *
+  * Registered as `grubbs_agg(value, alpha, minN)` in
+  * [[GraftExtensions]]; runs under `ObjectHashAggregateExec` (subject to
+  * the same sort-based fallback threshold as the posting-list
+  * aggregates). Output struct mirrors the old Aggregator's
+  * `Grubbs.Result` field names so `col("g.lo")`-style consumers are
+  * unchanged. */
+case class GrubbsAggregate(child: Expression, alpha: Double, minN: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): DoubleBuf =
+    new DoubleBuf(new Array[Double](16), 0)
+
+  override def update(b: DoubleBuf, input: InternalRow): DoubleBuf = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b1: DoubleBuf, b2: DoubleBuf): DoubleBuf = {
+    b1.addAll(b2); b1
+  }
+
+  override def eval(b: DoubleBuf): Any = {
+    val r = graft.operators.Grubbs.test(b.toArray, alpha, minN)
+    InternalRow(r.lo, r.hi, r.nKept, r.nRemoved)
+  }
+
+  override def serialize(b: DoubleBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DoubleBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val xs = new Array[Double](math.max(16, n))
+    var i = 0
+    while (i < n) { xs(i) = bb.getDouble; i += 1 }
+    new DoubleBuf(xs, n)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+    StructField("nKept", IntegerType, nullable = false),
+    StructField("nRemoved", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "grubbs_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GrubbsAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GrubbsAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

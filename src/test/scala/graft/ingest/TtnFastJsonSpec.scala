@@ -113,8 +113,13 @@ class TtnFastJsonSpec extends AnyFunSuite {
     // time/gateways must not survive a later '"metadata": null' or a
     // later object that omits them
     val withObjDup = if (rnd.nextInt(5) == 0 && withDup.exists(_._1 == "metadata"))
-      withDup :+ ("metadata" -> (if (rnd.nextInt(2) == 0) "null"
-        else jObj(rnd, Seq("time" -> q("2024-06-01T00:00:00Z")))))
+      withDup :+ ("metadata" -> (rnd.nextInt(4) match {
+        case 0 => "null"
+        // SCALAR at an object-schema key (ADVICE r8): dup or not, the
+        // differential test adjudicates what Jackson does with it
+        case 1 => rnd.nextInt(100).toString
+        case _ => jObj(rnd, Seq("time" -> q("2024-06-01T00:00:00Z")))
+      }))
       else withDup
     jObj(rnd, withObjDup) // NB jObj shuffles; dup order then varies — see filter below
   }
@@ -148,13 +153,19 @@ class TtnFastJsonSpec extends AnyFunSuite {
     // must not leak past a later null or a later sparser object
     val base = fs.result()
     val d1 = if (rnd.nextInt(5) == 0 && base.exists(_._1 == "uplink_message"))
-      base :+ ("uplink_message" -> (if (rnd.nextInt(2) == 0) "null"
-        else jObj(rnd, Seq("f_port" -> rnd.nextInt(300).toString))))
+      base :+ ("uplink_message" -> (rnd.nextInt(4) match {
+        case 0 => "null"
+        case 1 => strVal(rnd) // scalar at an object-schema key (ADVICE r8)
+        case _ => jObj(rnd, Seq("f_port" -> rnd.nextInt(300).toString))
+      }))
       else base
     val d2 = if (rnd.nextInt(5) == 0 && d1.exists(_._1 == "end_device_ids"))
-      d1 :+ ("end_device_ids" -> (if (rnd.nextInt(2) == 0) "null"
-        else jObj(rnd, Seq("application_ids" ->
-          jObj(rnd, Seq("application_id" -> strVal(rnd)))))))
+      d1 :+ ("end_device_ids" -> (rnd.nextInt(4) match {
+        case 0 => "null"
+        case 1 => "true" // scalar at an object-schema key (ADVICE r8)
+        case _ => jObj(rnd, Seq("application_ids" ->
+          jObj(rnd, Seq("application_id" -> strVal(rnd)))))
+      }))
       else d1
     jObj(rnd, d2)
   }
