@@ -12,13 +12,17 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same size-based broadcast ceiling as Bench (see Bench.scala) so
-      // the committed PLANS.txt shows the plans the bench actually runs
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // the committed PLANS.txt shows the plans the bench actually runs;
+      // overridable to reproduce OTHER sessions' plans (e.g. the r9
+      // sf10 q91 diagnosis of a default-threshold 8 GiB broadcast)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // one optimizer config for every query (q54 relies on the rule;

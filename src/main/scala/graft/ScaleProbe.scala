@@ -395,18 +395,30 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
       // Planted-pair recall (untimed): the found pairs must contain the
-      // probe's own twins at ≥ the knob's target recall (0.9 holds for
-      // AT-threshold pairs; twins sit above it) — guards against an
-      // auto-knob drift to recall≈0 that no pair-count check catches.
-      val plantedPairs = d.where(col("id") >= twinCut)
-        .select((col("id") - twinCut).as("d1"), col("id").as("d2"))
+      // probe's own ≥-THRESHOLD twins at ≥ the knob's target recall —
+      // guards against an auto-knob drift to recall≈0 that no
+      // pair-count check catches. The denominator is the twins whose
+      // exact cosine clears the threshold, NOT all twins: the
+      // perturbation leaves ~half the planted twins below 0.9 by
+      // construction (measured at the 220 k corpus: 10 013 of 20 000
+      // eligible; an all-twins denominator misreads a 0.996-recall run
+      // as 0.50 — exactly the r7 "at SRP recall" misread).
+      val twins = d.where(col("id") >= twinCut)
+        .select((col("id") - twinCut).as("d1"), col("id").as("d2"),
+          col("v").as("tv"))
+      val plantedPairs = twins
+        .join(d.select(col("id").as("d1"), col("v").as("bv")), Seq("d1"))
+        .where(operators.Similarity.dot(col("bv"), col("tv")) /
+          sqrt(operators.Similarity.norm2(col("bv")) *
+            operators.Similarity.norm2(col("tv"))) >= 0.9)
+        .select(col("d1"), col("d2"))
       val nPlanted = plantedPairs.count()
       val hit = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
           col("v"), 0.9, p, bands)
         .join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
       val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
-      assert(recall >= 0.8,
-        s"planted-pair recall $recall below 0.8 at mult=$m ($hit/$nPlanted)")
+      assert(recall >= 0.85,
+        s"planted-pair recall $recall below 0.85 at mult=$m ($hit/$nPlanted)")
       s.stop()
       println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs,"planted":$nPlanted,"planted_recall":${math.rint(recall * 10000) / 10000}}""")
     }

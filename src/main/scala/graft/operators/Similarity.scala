@@ -127,9 +127,20 @@ object Similarity {
           transform(slice(col("ids"), i + lit(2), size(col("ids"))),
             y => struct(x.as("d1"), y.as("d2")))))).as("pr"))
       .select(col("pr.d1"), col("pr.d2")).distinct()
-    cand
+    // Explicit merge hints on the verify joins: the candidate-pair side
+    // sits above a Generate → aggregate chain whose size Catalyst
+    // estimates from the PRE-explosion child, so a session can
+    // catastrophically misjudge it as broadcastable — measured at sf10
+    // (512 M candidate pairs ≈ 8 GiB) where the default-config Verify
+    // session's runtime re-planning attempted to broadcast it and died
+    // on the 8 GiB broadcast hard cap; the bench session already
+    // sort-merge-joins here, so the hint changes nothing there. At any
+    // scale both sides of these joins are data-dependent and large —
+    // never broadcast on an estimate.
+    cand.hint("merge")
       .join(base.select(col("id").as("d1"), col("v").as("v1"),
         col("n2").as("nn1")), Seq("d1"))
+      .hint("merge")
       .join(base.select(col("id").as("d2"), col("v").as("v2"),
         col("n2").as("nn2")), Seq("d2"))
       .select(col("d1"), col("d2"), (dot(col("v1"), col("v2")) /
