@@ -67,6 +67,21 @@ object DfProbe {
         leg("nsh_b_struct")(b)
         spark.stop(); return
       }
+      // r10 native legs: one-pass ngram_shingles scan, primitive-buffer
+      // posting aggregate, codegen'd pair Generator — each against its
+      // r9 declarative counterpart below.
+      graft.plans.GraftExtensions.register(spark)
+      def shN = docs.select(col("doc_id").as("id"),
+        explode(call_function("ngram_shingles", col("text"), lit(3))).as("s"))
+      def postingNat = shN.groupBy(col("s"))
+        .agg(call_function("sorted_longs_agg", col("id")).as("ids"))
+      leg("explode_nat")(shN)
+      leg("posting_nat")(postingNat)
+      leg("iuc_gen_nat")(postingNat
+        .where(size(col("ids")).between(2, 100))
+        .select(call_function("pairs_of_sorted", col("ids")).as(Seq("d1", "d2")))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("i_uc")))
       leg("explode")(sh)
       leg("dfcount_str")(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .where(col("df") >= 2))

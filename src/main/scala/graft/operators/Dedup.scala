@@ -44,25 +44,29 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Native one-pass shingling (r10): `ngram_shingles(text, n)` replaces
+    * the tokenize→HOF-shingle two-step — the declarative chain's regexp
+    * squeeze + split + interpreted per-shingle `concat_ws` lambda was the
+    * single widest cost in every shingle pipeline (30.8 s of the q26
+    * sf10 budget, docs/SCALING.md r9). Semantics pinned equal to the old
+    * chain (and the DuckDB oracle twin) by ShinglePairSpec. */
+  private def shingleCol(df: DataFrame, text: Column, n: Int): Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    call_function("ngram_shingles", text, lit(n))
+  }
+
   /** One row per document with its DISTINCT shingle array — a narrow
-    * scan projection, no shuffle (shinglesOfTokens already dedups).
-    * Tokenizes ONCE per document (two-step select: see
-    * TextFunctions.shinglesOfTokens on why CollapseProject matters). */
+    * scan projection, no shuffle (ngram_shingles already dedups). */
   private def shingleSets(df: DataFrame, id: Column, text: Column,
                           n: Int): DataFrame =
-    df.select(id.as("id"), tokens(text).as("__tk"))
-      .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
+    df.select(id.as("id"), shingleCol(df, text, n).as("hs"))
 
   /** One (id, shingle) row per distinct shingle — the inverted-index
-    * view. NOTE: explodes the shingle expression directly inside the
-    * Generate node rather than `shingleSets(...).select(explode(hs))`;
-    * the latter reads as equivalent and optimizes to a near-identical
-    * plan, but measured 20-30× slower on the shingle benches (q26/q27/
-    * q34) — keep the direct-explode form. */
+    * view. Explodes the (native, single-expression) shingle column
+    * directly inside the Generate node. */
   private def shingleRows(df: DataFrame, id: Column, text: Column,
                           n: Int): DataFrame =
-    df.select(id.as("id"), tokens(text).as("__tk"))
-      .select(col("id"), explode(shinglesOfTokens(col("__tk"), n)).as("s"))
+    df.select(id.as("id"), explode(shingleCol(df, text, n)).as("s"))
 
   /** Exact Jaccard over a (d1, d2) candidate pair set: aggregate each
     * document's FULL (already-distinct) shingle set into ONE array row,
@@ -172,69 +176,92 @@ object Dedup {
         // size frame. Now each posting-list element PACKS (id, n_sh)
         // into one long (`id << 21 | n_sh`): sizes ride the
         // already-paid posting shuffle at zero widening (lists stay
-        // primitive long arrays, so the interpreted HOF pair explode
-        // costs exactly what the id-only form cost — an (id, n_sh)
-        // STRUCT variant of the same idea measured 1.7× slower at sf10
-        // on the struct-array transform/slice path), the pair explode
-        // emits packed values, and the Jaccard filter applies DIRECTLY
-        // on the count aggregate's output after bit-unpacking — no
-        // joins sized by the candidate space anywhere (the remaining oc
-        // joins are against the tiny over-cap doc set, broadcast). One
+        // primitive long arrays), the pair generator emits packed
+        // values, and the Jaccard filter applies DIRECTLY on the count
+        // aggregate's output after bit-unpacking — no joins sized by
+        // the candidate space anywhere (the remaining oc joins are
+        // against the over-cap doc set, broadcast-gated below). One
         // tokenize pass total for the build; only the exact-verify leg
-        // re-tokenizes, for the oc-doc subset alone. Packing bound:
-        // n_sh < 2²¹ distinct shingles per document (far above any real
-        // document — shingle count ≤ token count) and id < 2⁴², both
-        // asserted cheap at unpack via the jac formula staying exact.
-        // Packed values sort identically to ids (id in the high bits),
-        // which the ordered pair explode requires. `posting` feeds two
-        // consumers (uc + oc), so it is cached rather than relying on
+        // re-tokenizes, for the oc-doc subset alone. Packed values sort
+        // identically to ids (id in the high bits), which the ordered
+        // pair generator requires. `posting` feeds two consumers
+        // (uc + oc), so it is cached rather than relying on
         // ReuseExchange matching the two subtrees (ADVICE r8), and the
         // result — tiny, just the matched pairs — is materialized
         // eagerly so the cache can be released deterministically.
-        // n_sh rides INSIDE the generator's lambda — NOT as a sibling
-        // `size(hs)` projection next to `explode(hs)`: that sibling
-        // form triggers InferFiltersFromGenerate to synthesize a
-        // `size(hs) > 0` filter BELOW the projection where `hs` is not
-        // yet materialized, re-inlining the whole tokenize+shingle
-        // expression once per element_at — measured 24.4 s vs 0.55 s
-        // for the in-generator form at sf0.1 (DfProbe `nsh` legs; the
-        // same pathology class as the shingleRows direct-explode note
-        // above).
+        //
+        // r10 native rebuild (VERDICT r9 item 1 + ADVICE r9): all three
+        // hot stages go native — ngram_shingles (one byte-level pass,
+        // replaces the regexp/split/interpreted-HOF chain that was
+        // 30.8 s of the sf10 budget), sorted_longs_agg (primitive long
+        // buffer, replaces boxed collect_list + array_sort), and the
+        // pairs_of_sorted Generator (codegen'd streaming pair emitter,
+        // replaces the interpreted transform/slice/flatten explode).
+        // Packing preconditions are now ENFORCED (see packOk below),
+        // and the oc broadcast is count-gated instead of forced.
         val nshBits = 21
         def packId(p: Column) = shiftright(p, nshBits)
         def packN(p: Column) = p.bitwiseAND(lit((1L << nshBits) - 1))
-        val shP = df.select(id.as("id"), tokens(text).as("__tk"))
-          .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
-          .select(explode(transform(col("hs"),
-            x => struct(x.as("s"),
-              shiftleft(col("id"), nshBits)
-                .bitwiseOR(size(col("hs")).cast("long")).as("p")))).as("e"))
-          .select(col("e.s").as("s"), col("e.p").as("p"))
+        // Packing preconditions (ADVICE r9: they were claimed, not
+        // enforced). Analysis-time: the id must be an integral column —
+        // a string id would silently cast to null and corrupt pair
+        // identities. Runtime (one codegen'd branch per DOCUMENT, not
+        // per shingle): n_sh < 2²¹ (a doc with ≥2M distinct shingles
+        // would overflow into the id bits) and 0 ≤ id < 2⁴².
+        val idField = df.select(id.as("id")).schema.head
+        require(Seq(org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(idField.dataType),
+          s"ngramJaccardPairs: id must be an integral column for (id, n_sh) " +
+            s"packing, got ${idField.dataType.catalogString}")
+        val packOk = size(col("hs")) < lit(1 << nshBits) &&
+          col("id") >= 0 && col("id") < lit(1L << (63 - nshBits))
+        val packExpr = coalesce(
+          when(packOk, shiftleft(col("id").cast("long"), nshBits)
+            .bitwiseOR(size(col("hs")).cast("long"))),
+          raise_error(concat(lit("ngramJaccardPairs: doc id out of [0, 2^42) " +
+            "or shingle count >= 2^21 for id "), col("id").cast("string"))))
+        // hs is materialized as a real attribute in its own projection
+        // (referenced twice: size() inside the pack + the explode), so
+        // CollapseProject cannot re-inline the shingle expression and
+        // InferFiltersFromGenerate's size(hs)>0 filter lands on the
+        // ATTRIBUTE — the r9 sibling-size pathology (24.4 s vs 0.55 s at
+        // sf0.1) cannot reappear. Spec-pinned by DedupSpec + the oracle.
+        val shP = df.select(id.as("id"), shingleCol(df, text, n).as("hs"))
+          .select(col("id"), col("hs"), packExpr.as("p"))
+          .select(col("p"), explode(col("hs")).as("s"))
+        // `lazyPlan` (SPARK_GRAFT_LAZY_DEDUP=1): skip the cache, the
+        // broadcast-gate count and the eager localCheckpoint and return
+        // the pure declarative plan — for explain/plan-dump callers
+        // (Explain, PLANS.txt), which otherwise pay a full execution
+        // just to look at the plan (ADVICE r9). Production keeps the
+        // eager path: posting feeds two consumers.
+        val lazyPlan = sys.env.get("SPARK_GRAFT_LAZY_DEDUP").contains("1")
         val posting = shP.groupBy(col("s"))
-          // collect_list, not collect_set: (id, s) rows are already
-          // distinct (array_distinct inside shinglesOfTokens), so the
-          // list IS the set — minus the per-element hash-set insert cost
-          // inside the non-codegen ObjectHashAggregate.
-          .agg(array_sort(collect_list(col("p"))).as("ids"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // sorted_longs_agg = array_sort(collect_list(...)) as ONE
+          // native aggregate over a primitive long buffer (r10): no
+          // per-entry boxing in the ObjectHashAggregate buffer, no boxed
+          // partial/merge traversal, no separate array_sort pass — the
+          // sort happens once at eval on the final primitive array.
+          // (collect_list-not-collect_set rationale unchanged: (id, s)
+          // rows are already distinct via ngram_shingles.)
+          .agg(call_function("sorted_longs_agg", col("p")).as("ids"))
+        val postingP =
+          if (lazyPlan) posting
+          else posting.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val uc = posting.where(size(col("ids")).between(2, cap))
-          // Ordered pairs from the sorted array via the HOF chain. A
-          // two-Generate form (posexplode, then explode-of-slice) is
-          // codegen'd and beat this interpreted emitter by 2× in an
-          // UNCACHED probe (DfProbe iuc legs, sf1: +1.25 s vs +2.46 s
-          // over the posting baseline), but over the CACHED posting
-          // relation it regressed the full query (sf10 113.6 → 141 s,
-          // paired): the InMemoryTableScan boundary splits the two
-          // Generates' codegen stages and every intermediate row then
-          // materializes the full list array. Keep the single-Generate
-          // HOF form here; the codegen'd pair emitter is the open
-          // tier-b custom-Generator item.
-          val iUc = uc.select(explode(flatten(
-              transform(col("ids"), (x, i) =>
-                transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-                  y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
-            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          val uc = postingP.where(size(col("ids")).between(2, cap))
+          // Ordered pairs via the custom codegen'd Generator (r10, the
+          // r9 VERDICT's tier-b item): one Generate node streaming
+          // (p1, p2) from the sorted primitive array with a reused
+          // two-long row — no interpreted HOF chain (transform/flatten
+          // are CodegenFallback), no nested array materialization, and
+          // no carried `ids` column (the two-Generate rewrite's failure
+          // mode over the cached posting relation: sf10 113.6 → 141 s).
+          val iUc = uc.select(
+              call_function("pairs_of_sorted", col("ids")).as(Seq("p1", "p2")))
+            .groupBy(col("p1"), col("p2"))
             .agg(count(lit(1)).as("i_uc"))
             // (p1, p2) groups ARE (d1, d2) groups: n_sh is a function of
             // the id, so unpacking after the aggregate is free.
@@ -243,14 +270,26 @@ object Dedup {
               col("i_uc"))
           // Per-doc over-cap shingle count: explode of the few dropped
           // hot lists (cached posting — no re-aggregation).
-          val oc = posting.where(size(col("ids")) > cap)
+          val oc = postingP.where(size(col("ids")) > cap)
             .select(explode(col("ids")).as("e"))
             .groupBy(packId(col("e")).as("id")).agg(count(lit(1)).as("oc"))
+          // Broadcast GATE, not a forced hint (ADVICE r9): oc is "tiny"
+          // only for corpora whose boilerplate stays under the df cap —
+          // on a boilerplate-heavy corpus at the 100 TB design point it
+          // approaches ALL docs and a forced broadcast is exactly the
+          // 8-GiB-driver-kill class the q91 merge hints fixed. The gate
+          // measures the actual count (cheap: one pass over the cached
+          // posting) and only hints when the build side is provably
+          // small; above the gate — or in lazy plan mode, where nothing
+          // may execute — AQE sizes the join from real map output.
+          val ocSmall = !lazyPlan && oc.count() <= (1L << 22)
+          def ocSide(d: String, as: String) = {
+            val side = oc.select(col("id").as(d), col("oc").as(as))
+            if (ocSmall) broadcast(side) else side
+          }
           val enriched = iUc
-            .join(broadcast(oc.select(col("id").as("d1"),
-              col("oc").as("oc1"))), Seq("d1"), "left")
-            .join(broadcast(oc.select(col("id").as("d2"),
-              col("oc").as("oc2"))), Seq("d2"), "left")
+            .join(ocSide("d1", "oc1"), Seq("d1"), "left")
+            .join(ocSide("d2", "oc2"), Seq("d2"), "left")
             .withColumn("oc_min",
               least(coalesce(col("oc1"), lit(0L)), coalesce(col("oc2"), lit(0L))))
           val exact = enriched.where(col("oc_min") === 0)
@@ -265,11 +304,23 @@ object Dedup {
             .select(col("d1"), col("d2"))
           val vSets = df.select(id.as("id"), text.as("__txt"))
             .join(oc.select(col("id")), Seq("id"), "left_semi")
-            .select(col("id"), tokens(col("__txt")).as("__tk"))
-            .select(col("id"), shinglesOfTokens(col("__tk"), n).as("hs"))
-          exact.unionByName(verifyJaccard(maybe, vSets, threshold))
-            .localCheckpoint(true)
-        } finally { posting.unpersist(false); () }
+            .select(col("id"), shingleCol(df, col("__txt"), n).as("hs"))
+          val result = exact.unionByName(verifyJaccard(maybe, vSets, threshold))
+          // Eager materialization semantics (ADVICE r9, now documented):
+          // localCheckpoint(true) EXECUTES the whole job at construction
+          // time — required so the posting cache can be released
+          // deterministically in the finally below while the returned
+          // frame stays consumable. Two consequences a caller must know:
+          // (a) merely building this DataFrame runs the query (explain-
+          // only callers should set SPARK_GRAFT_LAZY_DEDUP=1, which
+          // returns the pure lazy plan instead); (b) localCheckpoint
+          // blocks are NON-replicated — on executor loss in a cluster
+          // deploy the materialized result fails rather than recomputes,
+          // the standard trade for truncating a cached-lineage plan. A
+          // deploy that needs fault-tolerant retention should write the
+          // result to a table instead of holding the frame.
+          if (lazyPlan) result else result.localCheckpoint(true)
+        } finally { if (!lazyPlan) { postingP.unpersist(false) }; () }
     }
   }
 

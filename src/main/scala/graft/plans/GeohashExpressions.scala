@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the geohash codec (SURVEY §2.9: the
@@ -88,6 +88,22 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GeohashEncode].getName, null, name, usage, "")
 
+  /** Scalar parameters that fold into the expression at resolution time
+    * (grubbs_agg's alpha/minN, ngram_shingles' n) must BE foldable — a
+    * non-foldable column would hit an unbound-attribute `eval()` crash
+    * deep in Catalyst (ADVICE r9). Reject with the standard
+    * NON_FOLDABLE_INPUT analysis error instead. */
+  private def requireFoldable(fn: String, arg: String, e: Expression): Unit =
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr" -> fn,
+          "inputName" -> s"`$arg`",
+          "inputType" -> "constant",
+          "inputExpr" -> e.sql),
+        cause = None)
+
   val injections: Seq[Injection] = Seq(
     (FunctionIdentifier("geohash_encode"),
       info("geohash_encode", "geohash_encode(lat, lon, precision)"),
@@ -111,10 +127,31 @@ object GraftExtensions {
       info("grubbs_agg", "grubbs_agg(value, alpha, minN)"),
       // alpha/minN are per-query constants (foldable literals at call
       // sites) — evaluated once at resolution into the aggregate's
-      // parameters, keeping the per-row path a bare double append.
-      (es: Seq[Expression]) => GrubbsAggregate(Cast(es(0), DoubleType),
-        Cast(es(1), DoubleType).eval().asInstanceOf[Double],
-        Cast(es(2), IntegerType).eval().asInstanceOf[Int])))
+      // parameters, keeping the per-row path a bare double append. A
+      // non-foldable argument would hit an unbound-attribute eval crash
+      // deep in Catalyst (ADVICE r9) — reject it with a readable
+      // analysis-time error instead.
+      (es: Seq[Expression]) => {
+        requireFoldable("grubbs_agg", "alpha", es(1))
+        requireFoldable("grubbs_agg", "minN", es(2))
+        GrubbsAggregate(Cast(es(0), DoubleType),
+          Cast(es(1), DoubleType).eval().asInstanceOf[Double],
+          Cast(es(2), IntegerType).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("ngram_shingles"),
+      info("ngram_shingles", "ngram_shingles(text, n)"),
+      // n is a per-query constant — same foldable contract as grubbs_agg.
+      (es: Seq[Expression]) => {
+        requireFoldable("ngram_shingles", "n", es(1))
+        NgramShingles(Cast(es(0), StringType),
+          Cast(es(1), IntegerType).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("sorted_longs_agg"),
+      info("sorted_longs_agg", "sorted_longs_agg(value)"),
+      (es: Seq[Expression]) => SortedLongsAggregate(Cast(es.head, LongType))),
+    (FunctionIdentifier("pairs_of_sorted"),
+      info("pairs_of_sorted", "pairs_of_sorted(array<bigint>) — generator"),
+      (es: Seq[Expression]) => SortedPairs(es.head)))
 
   /** Imperative registration on an existing session — idempotent AND
     * quiet: skips functions already present (re-registering logs a

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ngram_shingles(text, n)` — one-pass native distinct word n-gram
+  * shingling, semantically identical to the declarative chain
+  *
+  * {{{
+  *   tk = split(trim(regexp_replace(lower(text), " +", " ")), " ")
+  *   when(size(tk) >= n, array_distinct(transform(sequence(0, size(tk)-n),
+  *     i => concat_ws(" ", tk[i+1], ..., tk[i+n]))))
+  *     .otherwise(array())
+  * }}}
+  *
+  * (= [[graft.functions.TextFunctions.shinglesOfTokens]] over
+  * [[graft.functions.TextFunctions.tokens]], = the DuckDB
+  * `shinglesSql` twin — the oracle contract is untouched).
+  *
+  * Why native (r10, VERDICT r9 item 1 context): the tokenize+explode
+  * SCAN was the single widest cost in every shingle pipeline pass
+  * (30.8 s of the q26 sf10 budget — docs/SCALING.md r9), and the
+  * declarative chain pays it in pieces: a regexp engine pass to squeeze
+  * spaces, a `split` building one UTF8String per token, then an
+  * interpreted `transform` lambda (HigherOrderFunction is
+  * CodegenFallback) evaluating n `element_at` + one `concat_ws` PER
+  * SHINGLE, then `array_distinct`'s per-element scan. This expression is
+  * one byte-level scan: lowercase once (`UTF8String.toLowerCase`, the
+  * same collation `lower()` uses), find token runs between 0x20 bytes
+  * (UTF-8 continuation bytes are ≥ 0x80, so byte scanning is
+  * multibyte-safe), emit each shingle as a SLICE of the lowered byte
+  * array when its n tokens are single-space-contiguous in the original
+  * text (the overwhelming case — zero copy) or as one small join buffer
+  * otherwise, and dedup via hash set keeping first-occurrence order
+  * (`array_distinct`'s order).
+  *
+  * Split semantics pinned by spec: an empty/all-space document yields
+  * ONE empty token (`split("", " ") = [""]`), so n = 1 shingles it to
+  * `[""]` and n ≥ 2 to `[]`; a null document yields `[]` (the `when`
+  * chain's CaseWhen-null → otherwise branch), so the output is
+  * non-nullable.
+  */
+case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"ngram_shingles: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngram_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_shingles expects a string column, got ${t.catalogString}")
+  }
+
+  // not nullSafeEval: null input maps to an EMPTY ARRAY, not null
+  override def eval(input: InternalRow): Any =
+    NgramShingles.compute(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = NgramShingles.getClass.getName.stripSuffix("$")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $cls.compute(${childGen.isNull} ? null : ${childGen.value}, $n);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramShingles {
+
+  private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** Static entry point shared by eval and codegen. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return Empty
+    val s = text.toLowerCase
+    val bytes = s.getBytes
+    val len = bytes.length
+
+    // Token spans: starts(k) inclusive, ends(k) exclusive, over runs of
+    // non-space bytes. Worst case (len+1)/2 tokens.
+    var tCount = 0
+    var starts = new Array[Int](math.min(16, len / 2 + 1))
+    var ends = new Array[Int](starts.length)
+    var i = 0
+    while (i < len) {
+      if (bytes(i) != ' ') {
+        val start = i
+        while (i < len && bytes(i) != ' ') i += 1
+        if (tCount == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+          ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+        }
+        starts(tCount) = start; ends(tCount) = i; tCount += 1
+      } else i += 1
+    }
+    // split("", " ") = [""]: an empty/all-space document has ONE empty
+    // token. Only reachable into the output when n == 1.
+    if (tCount == 0) {
+      return if (n == 1) new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+      else Empty
+    }
+    if (tCount < n) return Empty
+
+    val out = new java.util.ArrayList[AnyRef](tCount - n + 1)
+    val seen = new java.util.HashSet[UTF8String](
+      math.max(4, (tCount - n + 1) * 2))
+    var k = 0
+    while (k <= tCount - n) {
+      // expected shingle length: token bytes + (n-1) single separators
+      var shLen = n - 1
+      var j = k
+      while (j < k + n) { shLen += ends(j) - starts(j); j += 1 }
+      val span = ends(k + n - 1) - starts(k)
+      val shingle =
+        if (span == shLen) {
+          // tokens are single-space-contiguous in the source: zero-copy
+          // slice over the lowered byte array
+          UTF8String.fromBytes(bytes, starts(k), shLen)
+        } else {
+          val buf = new Array[Byte](shLen)
+          var pos = 0
+          var t = k
+          while (t < k + n) {
+            if (t > k) { buf(pos) = ' '; pos += 1 }
+            val l = ends(t) - starts(t)
+            System.arraycopy(bytes, starts(t), buf, pos, l)
+            pos += l
+            t += 1
+          }
+          UTF8String.fromBytes(buf)
+        }
+      if (seen.add(shingle)) out.add(shingle)
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
