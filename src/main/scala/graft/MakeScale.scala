@@ -100,11 +100,23 @@ object MakeScale {
     val docs = Tables.documents(spark, src)
     val dStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val docCols = docs.columns.toSeq
+    // The token-salt suffix carries the corpus-derived dStride — the
+    // same nesting rule the embeddings sign-flip uses (vStride salt):
+    // with a bare `_r<i>`, NESTED replication (sf0.1→sf1→sf10) collides
+    // level-1 replica i copied verbatim at level 2 (suffix `_r<i>`) with
+    // level-1 base salted at level 2 replica i (also `_r<i>`) — the two
+    // blocks are BIT-IDENTICAL documents, so the "linear planted pairs"
+    // contract silently breaks with |docs| extra exact twins plus
+    // cross-block near-dups per colliding pair of blocks. dStride
+    // differs at every nesting level (it is the max id of the level's
+    // input), so suffix namespaces compose decorrelated and the level-2
+    // corpus's true pair set is EXACTLY mult² disjoint copies of the
+    // base pair set — the closed form graft.PlantedCheck asserts.
     writeOne((0 until mult).map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * dStride))
         .withColumn("text",
           if (i == 0) col("text")
-          else regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
+          else regexp_replace(col("text"), "(\\S+)", s"$$1_r${i}x$dStride"))
         .select(docCols.map(col): _*)
     }.reduce(_ unionByName _), "documents")
 

@@ -73,6 +73,23 @@ object SparkEntry {
       lit("devices/"), col("event_id"), lit(" "),
       when(col("event_id") % 2 === 0, v2).otherwise(v3)).as("line"))
   }
+  /** The q76 operator proper — envelope parse → timestamp resolution →
+    * payload round-trip → best-gateway argmax — over an already-rendered
+    * line column. Split from the fixture render so Bench can persist the
+    * rendered lines once per corpus and time the OPERATOR, not the
+    * fixture manufacture (r9's DiagQ76 split: 2.4 s of the 7.2 s sf1
+    * artifact number was render — VERDICT r9 item 3). The oracle
+    * contract is untouched: `queries` still renders inline. */
+  private[graft] def q76Pipeline(lines: DataFrame): DataFrame =
+    graft.ingest.TtnEnvelope.parse(lines, col("line"))
+      .select(col("topic"), col("app_id"), col("dev_id"),
+        col("port"), col("counter"),
+        col("payload").cast("string").as("payload_str"),
+        unix_timestamp(to_timestamp(col("event_time"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("resolved_ts"),
+        size(col("gateways")).as("n_gateways"),
+        col("best_gateway"), col("best_score"))
+
   /** Epoch microseconds of a (possibly NTZ) timestamp column. */
   private def eUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
@@ -950,17 +967,8 @@ object SparkEntry {
     // base64-round-tripped, and the best gateway argmax'd over a
     // per-event synthetic gateway list. The oracle states the closed
     // form of every output directly from events.
-    "q76_ttn_envelope" -> ((s, d) => {
-      val lines = ttnFixtureLines(Tables.events(s, d))
-      graft.ingest.TtnEnvelope.parse(lines, col("line"))
-        .select(col("topic"), col("app_id"), col("dev_id"),
-          col("port"), col("counter"),
-          col("payload").cast("string").as("payload_str"),
-          unix_timestamp(to_timestamp(col("event_time"),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("resolved_ts"),
-          size(col("gateways")).as("n_gateways"),
-          col("best_gateway"), col("best_score"))
-    }),
+    "q76_ttn_envelope" -> ((s, d) =>
+      q76Pipeline(ttnFixtureLines(Tables.events(s, d)))),
 
     // Q77 — modified z-score (median/MAD) outliers (A6,
     // grubbs.py:745-756): |x−med| / median(|x−med|) ≥ 3.5 per device.
@@ -1397,7 +1405,32 @@ object SparkEntry {
     // seeds ∪ fresh odds ∪ anchors ∪ extenders — far-future keys and
     // hard-late rows never surface.
     "q101_session_replay" -> ((s, d) =>
-      graft.streaming.Replay.replaySessionWindows(s, d))
+      graft.streaming.Replay.replaySessionWindows(s, d)),
+
+    // Q102 — the AUTO-KNOB LSH near-dup path as a driver-checked oracle
+    // row (VERDICT r9 item 6): q91 pins 8 planes × 4 bands for a simple
+    // shared oracle, but production calls cosineNearDupPairsLshAuto,
+    // which sizes planes/bands from the corpus count (the fixed-knob
+    // shape is the documented quadratic at 10× corpus — 143 s vs 57 s
+    // at sf10). Same twin-augmented corpus as q91; the oracle recomputes
+    // lshPairKnobs IN SQL from count(*) so it tracks any SF.
+    "q102_lsh_neardup_auto" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s) // vec_dot
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"))
+      val twins = base.where(col("id") % 10 === 0)
+        .withColumn("v2", transform(col("v"), (x, i) =>
+          x.cast("double") +
+            (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
+              (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
+        .select((col("id") + 10000L).as("id"), col("v2").as("v"))
+      val corpus = base
+        .select(col("id"), transform(col("v"), x => x.cast("double")).as("v"))
+        .unionByName(twins)
+      Similarity.cosineNearDupPairsLshAuto(corpus, col("id"), col("v"),
+        threshold = 0.9)
+    })
   )
 
   // q63 synthetic reading shape (shared with the oracle renderer)
@@ -3192,6 +3225,60 @@ object SparkEntry {
                  max(acc.t) + 1800 AS session_end, count(*) AS n,
                  CAST(sum(acc.v) AS DOUBLE) AS s
           FROM acc JOIN g ON acc.skey = g.skey AND acc.t = g.t
-          GROUP BY acc.skey, g.sid"""
+          GROUP BY acc.skey, g.sid""",
+
+    // q102: q91's banded-SRP mirror with the knobs recomputed IN SQL
+    // from the corpus count — the same formulas as
+    // Similarity.lshPairKnobs (p = max(4, ceil(log2(n/8))), bands from
+    // the SRP collision curve at cos 0.9 targeting recall 0.9). Both
+    // engines evaluate the same IEEE-double expressions; ceil() could
+    // in principle flip on a last-ulp difference, but only when the
+    // ratio sits exactly on an integer, which no testdata SF's count
+    // approaches. Both sides drop any band bucket larger than 1000.
+    "q102_lsh_neardup_auto" ->
+      s"""WITH raw AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                       FROM embeddings),
+          base AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
+                   FROM raw),
+          tw AS (SELECT id + 10000 AS id,
+                        list(CAST(x AS DOUBLE) +
+                             ((id*31 + (ord-1)*17) % 7 - 3) *
+                             (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v
+                 FROM (SELECT id, unnest(v) AS x,
+                              generate_subscripts(v, 1) AS ord
+                       FROM raw WHERE id % 10 = 0)
+                 GROUP BY id),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+          kp AS (SELECT GREATEST(4, CAST(ceil(
+                          ln(GREATEST(1.0, count(*) / 8.0)) / ln(2)) AS INT))
+                          AS p
+                 FROM corpus),
+          kb AS (SELECT p, GREATEST(2, CAST(ceil(
+                          ln(1 - 0.9) /
+                          ln(1 - pow(1 - acos(0.9) / pi(), p))) AS INT))
+                          AS bands
+                 FROM kp),
+          pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,
+                        CAST(id % (SELECT p FROM kp) AS INT) AS px,
+                        v AS p_v
+                 FROM corpus
+                 WHERE id < (SELECT p FROM kp) * (SELECT bands FROM kb)),
+          coded AS (SELECT c.id, band,
+                      CAST(sum(CASE WHEN ${Similarity.dotSql("c.v", "p_v")} >= 0
+                               THEN (1::BIGINT << px) ELSE 0 END) AS BIGINT) AS bucket
+                    FROM corpus c CROSS JOIN pl GROUP BY 1, 2),
+          ok AS (SELECT band, bucket FROM coded GROUP BY 1, 2
+                 HAVING count(*) BETWEEN 2 AND 1000),
+          cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+                   FROM coded a
+                   JOIN ok USING (band, bucket)
+                   JOIN coded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.id < b.id),
+          scored AS (SELECT d1, d2,
+                       ${Similarity.cosineSql("e1.v", "e2.v")} AS cos
+                     FROM cand
+                     JOIN corpus e1 ON e1.id = d1
+                     JOIN corpus e2 ON e2.id = d2)
+          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9"""
   )
 }

@@ -51,6 +51,12 @@ case class GrubbsAggregate(child: Expression, alpha: Double, minN: Int,
   override def createAggregationBuffer(): DoubleBuf =
     new DoubleBuf(new Array[Double](16), 0)
 
+  // Null inputs are SKIPPED (the SQL-aggregate convention: count/avg/
+  // collect_list all ignore nulls) — an all-null group therefore yields
+  // the empty-buffer Result (NaN envelope, nKept 0), where the old typed
+  // Aggregator's encoder path carried nulls into the buffer. ADVICE r9:
+  // noted as a deliberate semantics choice, oracle-green for q37/q58
+  // (whose value columns are non-null); spec-pinned in GrubbsSpec.
   override def update(b: DoubleBuf, input: InternalRow): DoubleBuf = {
     val v = child.eval(input)
     if (v != null) b.add(v.asInstanceOf[Double])

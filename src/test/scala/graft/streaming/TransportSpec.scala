@@ -18,17 +18,39 @@ class TransportSpec extends AnyFunSuite {
   private val stress = "/root/reference/MyDatacollector/inputtests/stressTestData.mqtt"
 
   test("kafka transport routes to Spark's kafka connector (S1 prod path)") {
-    // The spark-sql-kafka connector jar is absent in this sandbox (zero
-    // egress), so reaching Spark's data-source lookup for "kafka" — and
-    // failing there, not earlier — proves the branch assembles a real
-    // connector read. With the public connector on the classpath the same
-    // code is the production path.
-    val e = intercept[Exception] {
-      Transport.lines(spark,
+    // VERDICT r9 item 7. Two legs, selected by whether a kafka connector
+    // jar is on the classpath (SPARK_GRAFT_KAFKA_SMOKE=1 declares it is —
+    // a deploy box; this zero-egress sandbox has none):
+    //  - WITH the jar: the leg must fully resolve — a streaming frame
+    //    with the exact `value: STRING` telegram contract the parse
+    //    pipeline consumes (no broker needed; resolution and schema are
+    //    driver-side).
+    //  - WITHOUT: the construction must die precisely at Spark's
+    //    DATA_SOURCE_NOT_FOUND lookup for "kafka" — failing THERE, and
+    //    not at an earlier option/shape error, proves the branch
+    //    assembles a real connector read and only the jar is absent.
+    if (sys.env.get("SPARK_GRAFT_KAFKA_SMOKE").contains("1")) {
+      val df = Transport.lines(spark,
         Transport.Kafka("broker-1:9092,broker-2:9092", "v3/+/devices/+/up"))
+      assert(df.isStreaming)
+      assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+        Seq(("value", "string")))
+      // the telegram stream must bind into the parse pipeline unchanged
+      val parsed = TtnEnvelope.parse(df, col("value"))
+      assert(parsed.columns.contains("dev_id"))
+    } else {
+      val e = intercept[Exception] {
+        Transport.lines(spark,
+          Transport.Kafka("broker-1:9092,broker-2:9092", "v3/+/devices/+/up"))
+      }
+      val msg = e.getMessage
+      assert(msg.toLowerCase.contains("kafka"),
+        s"expected the kafka data-source lookup to be reached, got: $msg")
+      assert(msg.contains("Failed to find the data source") ||
+        msg.contains("Failed to find data source") ||
+        msg.contains("DATA_SOURCE_NOT_FOUND"),
+        s"expected DATA_SOURCE_NOT_FOUND (jar-absent lookup), got: $msg")
     }
-    assert(e.getMessage.toLowerCase.contains("kafka"),
-      s"expected the kafka data-source lookup to be reached, got: ${e.getMessage}")
   }
 
   test("file-replay transport matches the batch parse (transport parity)") {
