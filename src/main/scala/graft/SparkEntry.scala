@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{AirQuality, Calibration, GeoFunctions, SensorTypes, TextFunctions}
+import graft.functions.{AirQuality, Calibration, GeoFunctions, PiiFunctions, SensorTypes, TextFunctions}
 import graft.operators._
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -1430,8 +1430,58 @@ object SparkEntry {
         .unionByName(twins)
       Similarity.cosineNearDupPairsLshAuto(corpus, col("id"), col("v"),
         threshold = 0.9)
-    })
+    }),
+
+    // Q103 — benchmark decontamination: training docs sharing a word
+    // 4-gram with the held-out benchmark partition (source 'src19').
+    "q103_decontaminate" -> ((s, d) =>
+      Decontaminate.overlap(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source") === "src19", n = 4)),
+
+    // Q104 — PII scan + redaction counts over deterministically
+    // PII-augmented text (the synthetic corpus is PII-free, so both
+    // engines append the same doc_id-derived email/IP/phone fixtures —
+    // the scrubber itself is what's under test).
+    "q104_pii_redact" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"), lit(" up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call +31-555-"),
+          (col("doc_id") % 10000).cast("string"), lit(" today")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select((col("doc_id") +: PiiFunctions.counts(withPii)) :+
+          md5(PiiFunctions.redact(withPii)).as("redacted_md5"): _*)
+    }),
+
+    // Q105 — training-sequence offset packing: 256-token sequences over
+    // 8 independent hash shards.
+    "q105_seq_pack" -> ((s, d) =>
+      SeqPack.pack(Tables.documents(s, d), col("doc_id"), col("text"),
+        seqLen = 256, nShards = 8)),
+
+    // Q106 — within-document repetition profile (Gopher dup-token /
+    // top-bigram signals).
+    "q106_repetition" -> ((s, d) =>
+      CorpusFilter.repetitionProfile(Tables.documents(s, d),
+        col("doc_id"), col("text"))),
+
+    // Q107 — language-mix resampling to a uniform 5-way target: the
+    // corpus is ~41 % en, so en is down-sampled to the water-filling
+    // maximum the rarest language supports.
+    "q107_lang_mix" -> ((s, d) =>
+      CorpusFilter.mixToTarget(Tables.documents(s, d), col("doc_id"),
+        col("lang"), MixTargets))
   )
+
+  /** q107 target language shares (uniform over the corpus' 5 langs). */
+  private val MixTargets: Map[String, Double] =
+    Seq("en", "de", "fr", "es", "zh").map(_ -> 0.2).toMap
 
   // q63 synthetic reading shape (shared with the oracle renderer)
   private val CommunityProducts =
@@ -3279,6 +3329,39 @@ object SparkEntry {
                      FROM cand
                      JOIN corpus e1 ON e1.id = d1
                      JOIN corpus e2 ON e2.id = d2)
-          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9"""
+          SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9""",
+
+    "q103_decontaminate" ->
+      Decontaminate.overlapSql("doc_id", "text", "source = 'src19'", n = 4),
+
+    "q104_pii_redact" -> {
+      // the same doc_id-derived PII fixtures the Spark side appends
+      val withPii =
+        """(text ||
+            (CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0
+             THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                  CAST(doc_id % 100 AS VARCHAR) || ' up'
+             ELSE '' END) ||
+            (CASE WHEN doc_id % 7 = 0
+             THEN ' call +31-555-' || CAST(doc_id % 10000 AS VARCHAR) || ' today'
+             ELSE '' END))"""
+      val cnts = PiiFunctions.countsSql(withPii)
+        .map { case (alias, e) => s"$e AS $alias" }.mkString(", ")
+      s"""SELECT doc_id, $cnts,
+                 md5(${PiiFunctions.redactSql(withPii)}) AS redacted_md5
+          FROM documents"""
+    },
+
+    "q105_seq_pack" ->
+      SeqPack.packSql("doc_id", "text", seqLen = 256, nShards = 8),
+
+    "q106_repetition" ->
+      CorpusFilter.repetitionProfileSql("doc_id", "text"),
+
+    "q107_lang_mix" ->
+      CorpusFilter.mixToTargetSql("doc_id", "lang", MixTargets)
   )
 }

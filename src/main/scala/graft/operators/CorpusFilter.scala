@@ -114,4 +114,151 @@ object CorpusFilter {
     // hash32 is in [0, 2^32) — plain % equals pmod for non-negative input
     s"(($h % 1000000) < ($thr))"
   }
+
+  // ------------------------------------------------- repetition profile
+
+  /** Gopher-style within-document repetition signals: the fraction of
+    * duplicate tokens (`1 − distinct/total`) and the share of the most
+    * frequent word bigram — the two cheap detectors for boilerplate /
+    * degenerate-generation text that slips past length and stopword
+    * gates.
+    *
+    * Scale shape: `dup_frac` is row-local (array_distinct over the
+    * token array — no shuffle); the top-bigram share explodes the
+    * NON-distinct bigram list and reduces it with two hash aggregates
+    * keyed by (doc, gram) then doc — fan-out is exactly tokens−1 rows
+    * per document and both aggregates combine map-side, so the shape is
+    * the linear tokenize cost, never quadratic. Documents shorter than
+    * two tokens report `top_bigram_frac` 0.0. */
+  def repetitionProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = TextFunctions.tokens(text)
+    val bigrams = when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), (i + 1).cast("int")),
+            element_at(col("tk"), (i + 2).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        round(lit(1.0) -
+          size(array_distinct(col("tk"))).cast("double") / size(col("tk")),
+          4).as("dup_frac"),
+        explode_outer(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"), col("g"))
+      .agg(count(col("g")).as("c")) // count(g): 0 for the null outer row
+      .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"))
+      .agg(max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_tok"), col("dup_frac"),
+        when(col("n_tok") >= 2,
+          round(col("top_c") / (col("n_tok") - 1).cast("double"), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionProfile]]. */
+  def repetitionProfileSql(idE: String, textE: String): String = {
+    val tk = tokensCte(textE)
+    s"""WITH t AS (SELECT $idE AS doc_id, $tk AS tk FROM documents),
+        base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+                   round(1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4)
+                     AS dup_frac,
+                   (CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(len(tk) - 1),
+                           i -> tk[i+1] || ' ' || tk[i+2])
+                    ELSE [] END) AS bigrams FROM t),
+        ex AS (SELECT doc_id, n_tok, dup_frac, unnest(bigrams) AS g
+               FROM base
+               UNION ALL
+               SELECT doc_id, n_tok, dup_frac, NULL
+               FROM base WHERE len(bigrams) = 0),
+        cnt AS (SELECT doc_id, n_tok, dup_frac, g, count(g) AS c
+                FROM ex GROUP BY 1, 2, 3, 4),
+        top AS (SELECT doc_id, n_tok, dup_frac, max(c) AS top_c
+                FROM cnt GROUP BY 1, 2, 3)
+        SELECT doc_id, n_tok, dup_frac,
+               (CASE WHEN n_tok >= 2
+                THEN round(top_c / CAST(n_tok - 1 AS DOUBLE), 4)
+                ELSE 0.0 END) AS top_bigram_frac FROM top"""
+  }
+
+  private def tokensCte(e: String): String = TextFunctions.tokensSql(e)
+
+  // ------------------------------------------------ target-mix sampling
+
+  /** Resample a corpus to a TARGET stratum mixture (e.g. language
+    * rebalancing before training): given target shares per stratum, find
+    * the largest total `N` the corpus can serve without any stratum
+    * exceeding its available count (water-filling with keep-rate ≤ 1),
+    * then admit `floor(N·tₛ)` docs per stratum via the same
+    * deterministic hash threshold as [[sampleStratified]]. Integer
+    * millionths arithmetic end-to-end — both engines compute identical
+    * admit sets. Strata absent from `targets` get rate 0.
+    *
+    * Returns the per-stratum audit frame (stratum, n_avail, n_kept) —
+    * the mix report a pipeline run logs. Scale shape: one tiny
+    * aggregate (|strata| rows) → scalar min → broadcast rate join →
+    * map-side filter → one re-aggregate; the corpus is never shuffled.
+    */
+  def mixToTarget(df: DataFrame, id: Column, stratum: Column,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(f => f > 0 && f <= 1),
+      s"target shares must be in (0,1]: $targets")
+    val tM: Map[String, Long] = // shares in millionths, pre-floored
+      targets.map { case (s, f) => s -> thresholdMillionths(f) }
+    val avail = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_avail"))
+    val tCol = tM.foldRight(lit(null).cast("long")) { case ((s, t), els) =>
+      when(col("stratum") === s, lit(t)).otherwise(els)
+    }
+    // N = min over targeted strata of floor(avail·1e6 / tₛ)
+    val n = avail.where(tCol.isNotNull)
+      .select(min(floor(col("n_avail") * lit(1000000L) / tCol).cast("long"))
+        .as("n_total"))
+    // rate in millionths: floor(kₛ·1e6 / avail), kₛ = floor(N·tₛ/1e6).
+    // The ·1e6 products go through Spark's double Divide: exact while
+    // the numerator stays under 2^53, i.e. up to ~9·10^9 docs per
+    // stratum — beyond that switch the two floors to integer `div`.
+    val rates = avail.crossJoin(broadcast(n))
+      .withColumn("k", floor(col("n_total") * tCol / lit(1000000L)).cast("long"))
+      .withColumn("rate_m",
+        coalesce(floor(col("k") * lit(1000000L) / col("n_avail")).cast("long"),
+          lit(0L)))
+      .select(col("stratum"), col("n_avail"), col("rate_m"))
+    val bucket = pmod(
+      TextFunctions.hash32(concat(lit("mix:"), stratum, lit(":"),
+        id.cast("string"))),
+      lit(1000000L))
+    df.select(stratum.as("stratum"), bucket.as("bucket"))
+      .join(broadcast(rates), "stratum")
+      .groupBy(col("stratum"), col("n_avail"))
+      .agg(sum(when(col("bucket") < col("rate_m"), 1L).otherwise(0L))
+        .as("n_kept"))
+      .select(col("stratum"), col("n_avail"), col("n_kept"))
+  }
+
+  /** SQL twin of [[mixToTarget]] — same millionths thresholds, same
+    * hash admit. */
+  def mixToTargetSql(idE: String, stratumE: String,
+                     targets: Map[String, Double]): String = {
+    val tM = targets.map { case (s, f) => s -> thresholdMillionths(f) }
+    val tCase = tM.foldRight("CAST(NULL AS BIGINT)") { case ((s, t), els) =>
+      s"CASE WHEN stratum = '$s' THEN $t ELSE $els END"
+    }
+    val h = TextFunctions.hash32Sql(
+      s"('mix:' || stratum || ':' || CAST(doc_id AS VARCHAR))")
+    s"""WITH avail AS (SELECT $stratumE AS stratum, count(*) AS n_avail
+                       FROM documents GROUP BY 1),
+        tgt AS (SELECT stratum, n_avail, ($tCase) AS t FROM avail),
+        n AS (SELECT min(CAST(floor(n_avail * 1000000 / t) AS BIGINT))
+                AS n_total FROM tgt WHERE t IS NOT NULL),
+        rates AS (SELECT stratum, n_avail,
+                    coalesce(CAST(floor(CAST(floor(n_total * t / 1000000)
+                        AS BIGINT) * 1000000 / n_avail) AS BIGINT), 0)
+                      AS rate_m
+                  FROM tgt CROSS JOIN n),
+        docs AS (SELECT $stratumE AS stratum, ($h % 1000000) AS bucket
+                 FROM documents)
+        SELECT d.stratum AS stratum, r.n_avail AS n_avail,
+               sum(CASE WHEN d.bucket < r.rate_m THEN 1 ELSE 0 END) AS n_kept
+        FROM docs d JOIN rates r ON d.stratum = r.stratum
+        GROUP BY 1, 2"""
+  }
 }
