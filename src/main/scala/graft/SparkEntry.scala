@@ -1476,7 +1476,21 @@ object SparkEntry {
     // maximum the rarest language supports.
     "q107_lang_mix" -> ((s, d) =>
       CorpusFilter.mixToTarget(Tables.documents(s, d), col("doc_id"),
-        col("lang"), MixTargets))
+        col("lang"), MixTargets)),
+
+    // Q108 — tokenizer training: the corpus-wide BPE merge-selection
+    // aggregate (top-50 adjacent token pairs with multiplicity; one
+    // map-side-combined hash aggregate + TakeOrdered, never a global
+    // sort).
+    "q108_bpe_merges" -> ((s, d) =>
+      TokenizerOps.topMergePairs(Tables.documents(s, d), col("text"), k = 50)),
+
+    // Q109 — embedding-space decontamination: training vectors whose
+    // cosine to any benchmark vector (label 9 stands in for the held-out
+    // eval suite) reaches 0.3 — exact, benchmark side broadcast.
+    "q109_embed_decon" -> ((s, d) =>
+      Decontaminate.embedOverlap(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label") === 9, threshold = 0.3))
   )
 
   /** q107 target language shares (uniform over the corpus' 5 langs). */
@@ -3362,6 +3376,13 @@ object SparkEntry {
       CorpusFilter.repetitionProfileSql("doc_id", "text"),
 
     "q107_lang_mix" ->
-      CorpusFilter.mixToTargetSql("doc_id", "lang", MixTargets)
+      CorpusFilter.mixToTargetSql("doc_id", "lang", MixTargets),
+
+    "q108_bpe_merges" ->
+      TokenizerOps.topMergePairsSql("text", k = 50),
+
+    "q109_embed_decon" ->
+      Decontaminate.embedOverlapSql("vec_id", "embedding", "label = 9",
+        threshold = 0.3)
   )
 }

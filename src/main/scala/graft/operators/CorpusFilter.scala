@@ -123,14 +123,34 @@ object CorpusFilter {
     * degenerate-generation text that slips past length and stopword
     * gates.
     *
-    * Scale shape: `dup_frac` is row-local (array_distinct over the
-    * token array — no shuffle); the top-bigram share explodes the
-    * NON-distinct bigram list and reduces it with two hash aggregates
-    * keyed by (doc, gram) then doc — fan-out is exactly tokens−1 rows
-    * per document and both aggregates combine map-side, so the shape is
-    * the linear tokenize cost, never quadratic. Documents shorter than
-    * two tokens report `top_bigram_frac` 0.0. */
+    * Scale shape: a MAP-ONLY projection — all three counters (token
+    * count, distinct-token count, top-bigram multiplicity) come from the
+    * native one-pass `repetition_stats` scan
+    * ([[graft.plans.RepetitionStats]]), so the profile shuffles nothing
+    * at any corpus size. (The first cut exploded tokens−1 bigram rows
+    * per document through two shuffled hash aggregates just to take a
+    * per-document max — a corpus-sized shuffle for a row-local
+    * statistic; 2.0 s → map-only at sf0.1, and the declarative twin is
+    * kept below as the spec's equivalence baseline.) Documents shorter
+    * than two tokens report `top_bigram_frac` 0.0. */
   def repetitionProfile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("repetition_stats", text).as("rs"))
+      .select(col("doc_id"), col("rs.n_tok").as("n_tok"),
+        round(lit(1.0) -
+          col("rs.n_distinct").cast("double") / col("rs.n_tok"),
+          4).as("dup_frac"),
+        when(col("rs.n_tok") >= 2,
+          round(col("rs.top_bigram") / (col("rs.n_tok") - 1).cast("double"), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** The declarative explode-and-aggregate form of [[repetitionProfile]]
+    * — the semantic spec the native scan is property-tested against
+    * (`RepetitionStatsSpec`); not a production path. */
+  private[graft] def repetitionProfileDeclarative(
+      df: DataFrame, id: Column, text: Column): DataFrame = {
     val tk = TextFunctions.tokens(text)
     val bigrams = when(size(col("tk")) >= 2,
         transform(sequence(lit(0), size(col("tk")) - 2),

@@ -47,6 +47,52 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Embedding-space decontamination: flag training vectors whose
+    * cosine to ANY benchmark vector reaches `threshold` — the semantic
+    * sibling of [[overlap]] for contamination that survives paraphrase
+    * (n-gram overlap misses reworded benchmark items; embedding
+    * proximity does not).
+    *
+    * Returns (vec_id, n_hits, max_cos) for flagged training vectors.
+    *
+    * Shape at 100 TB: the benchmark side is SMALL by nature (an eval
+    * suite, not a corpus) — it is broadcast once and every training
+    * partition scores against it map-side (`vec_dot` is a codegen'd
+    * native), so the only shuffle is the final per-vector aggregate,
+    * sized by the flagged set. Exact by construction — no recall knob —
+    * which is what a contamination audit wants; if the benchmark side
+    * ever outgrows broadcast, the LSH-bucketed
+    * [[Similarity.cosineNearDupPairsLshAuto]] path is the fallback. */
+  def embedOverlap(emb: DataFrame, id: Column, vec: Column,
+                   isBenchmark: Column, threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession) // vec_dot
+    val base = emb.select(id.as("id"), vec.as("v"), isBenchmark.as("is_bench"),
+      Similarity.norm2(vec).as("n2"))
+    val bench = base.where(col("is_bench"))
+      .select(col("v").as("b_v"), col("n2").as("b_n2"))
+    base.where(!col("is_bench"))
+      .crossJoin(broadcast(bench))
+      .select(col("id"),
+        (Similarity.dot(col("v"), col("b_v")) /
+          sqrt(col("n2") * col("b_n2"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), round(max(col("cos")), 4).as("max_cos"))
+      .select(col("id").as("vec_id"), col("n_hits"), col("max_cos"))
+  }
+
+  /** DuckDB twin of [[embedOverlap]]. */
+  def embedOverlapSql(idE: String, vecE: String, benchPred: String,
+                      threshold: Double): String =
+    s"""WITH base AS (SELECT $idE AS id, $vecE AS v, ($benchPred) AS is_bench,
+                        ${Similarity.dotSql(vecE, vecE)} AS n2 FROM embeddings),
+        b AS (SELECT v AS b_v, n2 AS b_n2 FROM base WHERE is_bench),
+        s AS (SELECT t.id, ${Similarity.dotSql("t.v", "b.b_v")} /
+                sqrt(t.n2 * b.b_n2) AS cos
+              FROM base t CROSS JOIN b WHERE NOT t.is_bench)
+        SELECT id AS vec_id, count(*) AS n_hits, round(max(cos), 4) AS max_cos
+        FROM s WHERE cos >= $threshold GROUP BY 1"""
+
   /** DuckDB twin of [[overlap]] — same shingling, same 60-bit gram
     * hash, same benchmark-side dedup. */
   def overlapSql(idE: String, textE: String, benchPred: String,

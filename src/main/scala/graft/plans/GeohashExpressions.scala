@@ -146,6 +146,16 @@ object GraftExtensions {
         NgramShingles(Cast(es(0), StringType),
           Cast(es(1), IntegerType).eval().asInstanceOf[Int])
       }),
+    (FunctionIdentifier("ngram_list"),
+      info("ngram_list", "ngram_list(text, n) — every occurrence, in order"),
+      (es: Seq[Expression]) => {
+        requireFoldable("ngram_list", "n", es(1))
+        NgramShingles(Cast(es(0), StringType),
+          Cast(es(1), IntegerType).eval().asInstanceOf[Int], distinct = false)
+      }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(text)"),
+      (es: Seq[Expression]) => RepetitionStats(Cast(es.head, StringType))),
     (FunctionIdentifier("sorted_longs_agg"),
       info("sorted_longs_agg", "sorted_longs_agg(value)"),
       (es: Seq[Expression]) => SortedLongsAggregate(Cast(es.head, LongType))),

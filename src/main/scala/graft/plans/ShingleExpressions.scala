@@ -46,13 +46,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain's CaseWhen-null → otherwise branch), so the output is
   * non-nullable.
   */
-case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
+case class NgramShingles(child: Expression, n: Int,
+                         distinct: Boolean = true) extends UnaryExpression {
 
   require(n >= 1, s"ngram_shingles: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "ngram_shingles"
+  override def prettyName: String =
+    if (distinct) "ngram_shingles" else "ngram_list"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -62,7 +64,7 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
 
   // not nullSafeEval: null input maps to an EMPTY ARRAY, not null
   override def eval(input: InternalRow): Any =
-    NgramShingles.compute(child.eval(input).asInstanceOf[UTF8String], n)
+    NgramShingles.compute(child.eval(input).asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
@@ -71,7 +73,7 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
       code = code"""
         |${childGen.code}
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-        |  $cls.compute(${childGen.isNull} ? null : ${childGen.value}, $n);
+        |  $cls.compute(${childGen.isNull} ? null : ${childGen.value}, $n, $distinct);
         """.stripMargin,
       isNull = FalseLiteral)
   }
@@ -84,8 +86,10 @@ object NgramShingles {
 
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
 
-  /** Static entry point shared by eval and codegen. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Static entry point shared by eval and codegen. `distinct = false`
+    * (`ngram_list`) keeps every occurrence in order — the multiplicity
+    * variant corpus-level counting (BPE merge selection, q108) needs. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     if (text == null) return Empty
     val s = text.toLowerCase
     val bytes = s.getBytes
@@ -117,7 +121,7 @@ object NgramShingles {
     if (tCount < n) return Empty
 
     val out = new java.util.ArrayList[AnyRef](tCount - n + 1)
-    val seen = new java.util.HashSet[UTF8String](
+    val seen = if (!distinct) null else new java.util.HashSet[UTF8String](
       math.max(4, (tCount - n + 1) * 2))
     var k = 0
     while (k <= tCount - n) {
@@ -144,7 +148,7 @@ object NgramShingles {
           }
           UTF8String.fromBytes(buf)
         }
-      if (seen.add(shingle)) out.add(shingle)
+      if (seen == null || seen.add(shingle)) out.add(shingle)
       k += 1
     }
     new GenericArrayData(out.toArray)
