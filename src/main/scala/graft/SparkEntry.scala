@@ -1490,7 +1490,15 @@ object SparkEntry {
     // eval suite) reaches 0.3 — exact, benchmark side broadcast.
     "q109_embed_decon" -> ((s, d) =>
       Decontaminate.embedOverlap(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), col("label") === 9, threshold = 0.3))
+        col("embedding"), col("label") === 9, threshold = 0.3)),
+
+    // Q110 — iterative BPE training: 8 alternating select→apply merge
+    // rounds (the real tokenizer loop; q108 is one selection round).
+    // Each round is one map-side-combined pair-count aggregate + a
+    // map-only literal replace; merge selection is sequential by
+    // definition.
+    "q110_bpe_train" -> ((s, d) =>
+      TokenizerOps.trainMerges(Tables.documents(s, d), col("text"), k = 8))
   )
 
   /** q107 target language shares (uniform over the corpus' 5 langs). */
@@ -3383,6 +3391,9 @@ object SparkEntry {
 
     "q109_embed_decon" ->
       Decontaminate.embedOverlapSql("vec_id", "embedding", "label = 9",
-        threshold = 0.3)
+        threshold = 0.3),
+
+    "q110_bpe_train" ->
+      TokenizerOps.trainMergesSql("text", k = 8)
   )
 }

@@ -18,11 +18,25 @@ import org.apache.spark.sql.functions._
 object PiiFunctions {
 
   /** (name, pattern, replacement tag) in redaction order. Order matters
-    * only for overlapping matches; these three classes are disjoint. */
+    * for overlapping matches: ipv4 runs before phone, so a dotted IP is
+    * already `<IP>` when the phone pass sees the text (a dotted local
+    * phone `555.123.4567` and a dotted IP overlap syntactically; the
+    * per-class raw counts count each class independently).
+    *
+    * Phone covers the shapes a real scrubber meets, not just the
+    * `+CC-NNN-N…` fixture: international with optional `-`/`.`/space
+    * separators and an optional parenthesized area code
+    * (`+31 (0)20 123 4567`, `+1.555.0100`), and local forms with a
+    * parenthesized area code or at least two separator-joined digit
+    * groups (`(020) 1234 5678`, `555-123-4567`) — the two-separator
+    * floor keeps bare digit runs (ids, years, zips) unredacted. */
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
-    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,10}", "<PHONE>"))
+    ("phone",
+     "(\\+[0-9]{1,3}[-. ]?(\\([0-9]{1,4}\\)[-. ]?)?[0-9]{2,4}[-. ]?[0-9]{1,10}" +
+       "|(\\([0-9]{2,4}\\)[-. ]?|[0-9]{2,4}[-. ])[0-9]{3,4}[-. ][0-9]{2,6})",
+     "<PHONE>"))
 
   /** Per-class match count columns, aliased `n_<name>`. */
   def counts(text: Column): Seq[Column] =

@@ -210,7 +210,11 @@ object CorpusFilter {
     * then admit `floor(N·tₛ)` docs per stratum via the same
     * deterministic hash threshold as [[sampleStratified]]. Integer
     * millionths arithmetic end-to-end — both engines compute identical
-    * admit sets. Strata absent from `targets` get rate 0.
+    * admit sets. Strata absent from `targets` get rate 0; a TARGET
+    * stratum absent from the corpus has avail 0, so N = 0 and nothing
+    * is admitted anywhere — asking for 50 % of a language the corpus
+    * does not hold is unservable, and silently over-admitting the rest
+    * would invert the contract (the r10 advice bug).
     *
     * Returns the per-stratum audit frame (stratum, n_avail, n_kept) —
     * the mix report a pipeline run logs. Scale shape: one tiny
@@ -228,9 +232,27 @@ object CorpusFilter {
     val tCol = tM.foldRight(lit(null).cast("long")) { case ((s, t), els) =>
       when(col("stratum") === s, lit(t)).otherwise(els)
     }
-    // N = min over targeted strata of floor(avail·1e6 / tₛ)
-    val n = avail.where(tCol.isNotNull)
-      .select(min(floor(col("n_avail") * lit(1000000L) / tCol).cast("long"))
+    // N = min over ALL target strata of floor(avail·1e6 / tₛ), with a
+    // target stratum missing from the corpus contributing avail = 0
+    // (⇒ N = 0): the target list drives the min, not the corpus, so an
+    // unservable mix reports 0 kept everywhere instead of silently
+    // filling the gap with the strata that do exist. The target frame
+    // is |targets| literal rows — driver-built by design.
+    val spark = df.sparkSession
+    val tgtRows = tM.toSeq.sortBy(_._1).map { case (s, t) =>
+      org.apache.spark.sql.Row(s, t)
+    }
+    val tgtDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tgtRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t_stratum",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("t_m",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val n = tgtDf
+      .join(avail, tgtDf("t_stratum") === avail("stratum"), "left")
+      .select(min(floor(coalesce(col("n_avail"), lit(0L)) * lit(1000000L)
+          / col("t_m")).cast("long"))
         .as("n_total"))
     // rate in millionths: floor(kₛ·1e6 / avail), kₛ = floor(N·tₛ/1e6).
     // The ·1e6 products go through Spark's double Divide: exact while
@@ -255,10 +277,13 @@ object CorpusFilter {
   }
 
   /** SQL twin of [[mixToTarget]] — same millionths thresholds, same
-    * hash admit. */
+    * hash admit, same target-driven N (a target stratum missing from
+    * the corpus ⇒ avail 0 ⇒ N = 0). */
   def mixToTargetSql(idE: String, stratumE: String,
                      targets: Map[String, Double]): String = {
     val tM = targets.map { case (s, f) => s -> thresholdMillionths(f) }
+    val tgtValues = tM.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"('$s', CAST($t AS BIGINT))" }.mkString(", ")
     val tCase = tM.foldRight("CAST(NULL AS BIGINT)") { case ((s, t), els) =>
       s"CASE WHEN stratum = '$s' THEN $t ELSE $els END"
     }
@@ -266,9 +291,11 @@ object CorpusFilter {
       s"('mix:' || stratum || ':' || CAST(doc_id AS VARCHAR))")
     s"""WITH avail AS (SELECT $stratumE AS stratum, count(*) AS n_avail
                        FROM documents GROUP BY 1),
+        tgts AS (SELECT * FROM (VALUES $tgtValues) AS v(stratum, t)),
         tgt AS (SELECT stratum, n_avail, ($tCase) AS t FROM avail),
-        n AS (SELECT min(CAST(floor(n_avail * 1000000 / t) AS BIGINT))
-                AS n_total FROM tgt WHERE t IS NOT NULL),
+        n AS (SELECT min(CAST(floor(coalesce(a.n_avail, 0) * 1000000 / v.t)
+                    AS BIGINT)) AS n_total
+              FROM tgts v LEFT JOIN avail a USING (stratum)),
         rates AS (SELECT stratum, n_avail,
                     coalesce(CAST(floor(CAST(floor(n_total * t / 1000000)
                         AS BIGINT) * 1000000 / n_avail) AS BIGINT), 0)
@@ -277,7 +304,8 @@ object CorpusFilter {
         docs AS (SELECT $stratumE AS stratum, ($h % 1000000) AS bucket
                  FROM documents)
         SELECT d.stratum AS stratum, r.n_avail AS n_avail,
-               sum(CASE WHEN d.bucket < r.rate_m THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(CASE WHEN d.bucket < r.rate_m THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept
         FROM docs d JOIN rates r ON d.stratum = r.stratum
         GROUP BY 1, 2"""
   }

@@ -56,18 +56,37 @@ object Decontaminate {
     * Returns (vec_id, n_hits, max_cos) for flagged training vectors.
     *
     * Shape at 100 TB: the benchmark side is SMALL by nature (an eval
-    * suite, not a corpus) — it is broadcast once and every training
-    * partition scores against it map-side (`vec_dot` is a codegen'd
-    * native), so the only shuffle is the final per-vector aggregate,
-    * sized by the flagged set. Exact by construction — no recall knob —
-    * which is what a contamination audit wants; if the benchmark side
-    * ever outgrows broadcast, the LSH-bucketed
-    * [[Similarity.cosineNearDupPairsLshAuto]] path is the fallback. */
+    * suite, not a corpus) — when it fits broadcast
+    * (`count ≤ maxBenchBroadcast`, one cheap planning aggregate) it is
+    * broadcast once and every training partition scores against it
+    * map-side (`vec_dot` is a codegen'd native), so the only shuffle is
+    * the final per-vector aggregate, sized by the flagged set. Exact by
+    * construction — no recall knob — which is what a contamination
+    * audit wants. Above the gate the audit routes to the SRP-banded
+    * cross-set path ([[embedOverlapLsh]]): candidates from (band,
+    * bucket) equi-joins, exact cosine verify on candidates only — no
+    * false positives, recall governed by the band count. The gate is
+    * real, not documentation: the r10 advice pattern (count-gate the
+    * broadcast the way q26 gates `broadcast(oc)`). */
   def embedOverlap(emb: DataFrame, id: Column, vec: Column,
-                   isBenchmark: Column, threshold: Double): DataFrame = {
+                   isBenchmark: Column, threshold: Double,
+                   maxBenchBroadcast: Long = 2000000L): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession) // vec_dot
-    val base = emb.select(id.as("id"), vec.as("v"), isBenchmark.as("is_bench"),
+    val base = baseFrame(emb, id, vec, isBenchmark)
+    // planning statistic (bounded: one aggregate row), same contract as
+    // cosineNearDupPairsLshAuto's corpus count
+    val nBench = base.where(col("is_bench")).count()
+    if (nBench <= maxBenchBroadcast) embedOverlapExact(base, threshold)
+    else embedOverlapLshFromBase(base, threshold)
+  }
+
+  private def baseFrame(emb: DataFrame, id: Column, vec: Column,
+                        isBenchmark: Column): DataFrame =
+    emb.select(id.as("id"), vec.as("v"), isBenchmark.as("is_bench"),
       Similarity.norm2(vec).as("n2"))
+
+  private def embedOverlapExact(base: DataFrame,
+                                threshold: Double): DataFrame = {
     val bench = base.where(col("is_bench"))
       .select(col("v").as("b_v"), col("n2").as("b_n2"))
     base.where(!col("is_bench"))
@@ -75,6 +94,68 @@ object Decontaminate {
       .select(col("id"),
         (Similarity.dot(col("v"), col("b_v")) /
           sqrt(col("n2") * col("b_n2"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), round(max(col("cos")), 4).as("max_cos"))
+      .select(col("id").as("vec_id"), col("n_hits"), col("max_cos"))
+  }
+
+  /** The above-broadcast path: SRP-banded cross-set candidate join.
+    * Both sides are coded with the SAME plane set (the first p·bands
+    * corpus vectors — deterministic, the [[Similarity]] convention),
+    * training and benchmark codes meet in a (band, bucket) equi-join,
+    * candidate (train, bench) pairs are distinct'd and exact-verified
+    * with codegen'd `vec_dot` — so hits are exact, only recall is
+    * probabilistic (knobs from [[Similarity.lshPairKnobs]] at the
+    * training-corpus density; extra bands buy recall linearly).
+    * Degenerate hot buckets on the BENCH side past `bucketCap` are
+    * dropped — the posting-list-cap contract. Shuffles: one per side
+    * into (band, bucket), the candidate distinct, two verify joins —
+    * all keyed, never all-pairs. */
+  def embedOverlapLsh(emb: DataFrame, id: Column, vec: Column,
+                      isBenchmark: Column, threshold: Double,
+                      targetRecall: Double = 0.9,
+                      bucketCap: Int = 10000): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    embedOverlapLshFromBase(baseFrame(emb, id, vec, isBenchmark),
+      threshold, targetRecall, bucketCap)
+  }
+
+  private def embedOverlapLshFromBase(base: DataFrame, threshold: Double,
+                                      targetRecall: Double = 0.9,
+                                      bucketCap: Int = 10000): DataFrame = {
+    val nTrain = base.where(!col("is_bench")).count() // planning statistic
+    val (p, bands) = Similarity.lshPairKnobs(nTrain, threshold, targetRecall)
+    val pl = base.where(col("id") < p.toLong * bands)
+      .select((col("id") / p).cast("int").as("band"),
+        pmod(col("id"), lit(p.toLong)).cast("int").as("p"),
+        col("v").as("p_v"))
+    val coded = base.join(broadcast(pl))
+      .groupBy(col("id"), col("is_bench"), col("band"))
+      .agg(sum(when(Similarity.dot(col("v"), col("p_v")) >= 0,
+        call_function("shiftleft", lit(1L), col("p")))
+        .otherwise(0L)).as("bucket"))
+    val train = coded.where(!col("is_bench"))
+      .select(col("id").as("t_id"), col("band"), col("bucket"))
+    val benchAll = coded.where(col("is_bench"))
+      .select(col("id").as("b_id"), col("band"), col("bucket"))
+    val hot = benchAll.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("nb")).where(col("nb") > bucketCap)
+      .select(col("band"), col("bucket"))
+    val bench = benchAll.join(hot, Seq("band", "bucket"), "left_anti")
+    val cand = train.join(bench, Seq("band", "bucket"))
+      .select(col("t_id"), col("b_id")).distinct()
+    // merge hints for the same reason as cosineNearDupPairsLsh: the
+    // candidate side's size is misestimated from the pre-join children
+    cand.hint("merge")
+      .join(base.where(!col("is_bench")).select(col("id").as("t_id"),
+        col("v").as("t_v"), col("n2").as("t_n2")), Seq("t_id"))
+      .hint("merge")
+      .join(base.where(col("is_bench")).select(col("id").as("b_id"),
+        col("v").as("b_v"), col("n2").as("b_n2")), Seq("b_id"))
+      .select(col("t_id").as("id"),
+        (Similarity.dot(col("t_v"), col("b_v")) /
+          sqrt(col("t_n2") * col("b_n2"))).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"), round(max(col("cos")), 4).as("max_cos"))

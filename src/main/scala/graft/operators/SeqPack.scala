@@ -59,6 +59,6 @@ object SeqPack {
                   AS start FROM base)
         SELECT doc_id, shard, n_tok,
                CAST(floor(start / $seqLen) AS BIGINT) AS seq_id,
-               (start % $seqLen) AS seq_off FROM run"""
+               CAST((start % $seqLen) AS BIGINT) AS seq_off FROM run"""
   }
 }

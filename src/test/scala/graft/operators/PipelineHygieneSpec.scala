@@ -109,4 +109,41 @@ class PipelineHygieneSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again("en") == out("en")._2)
   }
+
+  test("mix: target stratum absent from the corpus ⇒ N = 0, nothing kept") {
+    import spark.implicits._
+    // the r10 advice bug: {en:0.5, fr:0.5} with zero fr docs must NOT
+    // silently produce a 100% en mix — fr has avail 0, so N = 0
+    val docs = (0 until 600).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val out = CorpusFilter.mixToTarget(docs, $"doc_id", $"lang",
+        Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("en", 600L, 0L)))
+  }
+
+  test("pii: phone shapes beyond the +CC-NNN fixture; digit runs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tel +31-555-0042 ok"),              // the original fixture form
+      (2L, "us style 555-123-4567 end"),        // local, dash-separated
+      (3L, "dotted +1.555.0100 intl"),          // dot separators
+      (4L, "area (020) 1234 5678 uk"),          // parenthesized area code
+      (5L, "call 555-123-4567 or +1.555.0100"), // two matches in one doc
+      (6L, "year 2026 zip 90210 id 1234567"),   // bare digit runs: NOT phones
+      (7L, "meeting 2026-08-15 at noon"))       // ISO date: NOT a phone
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiFunctions.patterns
+          .find(_._1 == "phone").get._2)).as("n"),
+        PiiFunctions.redact(col("text")).as("red"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("n")).toSeq === Seq(1, 1, 1, 1, 2, 0, 0))
+    assert(out(0).getAs[String]("red") === "tel <PHONE> ok")
+    assert(out(1).getAs[String]("red") === "us style <PHONE> end")
+    assert(out(2).getAs[String]("red") === "dotted <PHONE> intl")
+    assert(out(3).getAs[String]("red") === "area <PHONE> uk")
+    assert(out(4).getAs[String]("red") === "call <PHONE> or <PHONE>")
+    assert(out(5).getAs[String]("red") === "year 2026 zip 90210 id 1234567")
+    assert(out(6).getAs[String]("red") === "meeting 2026-08-15 at noon")
+  }
 }

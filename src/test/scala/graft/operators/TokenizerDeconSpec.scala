@@ -65,4 +65,59 @@ class TokenizerDeconSpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 1.0)))
     assert(out(2L) === ((2L, 0.8)))
   }
+
+  test("embedOverlap: broadcast gate routes to the LSH path and back") {
+    val docs = Seq(
+      (1L, Array(1f, 0f), false),
+      (2L, Array(0.8f, 0.6f), false),
+      (3L, Array(0f, -1f), false),
+      (10L, Array(2f, 0f), true),
+      (11L, Array(0f, 3f), true))
+      .toDF("vec_id", "embedding", "bench")
+    def run(maxBench: Long) =
+      Decontaminate.embedOverlap(docs, col("vec_id"), col("embedding"),
+        col("bench"), threshold = 0.5, maxBenchBroadcast = maxBench)
+    val exact = run(100L) // nBench = 2 ≤ 100 → broadcast-exact path
+    val lsh = run(1L)     // nBench = 2 > 1 → SRP-banded cross path
+    // the LSH path (and only it) carries the hot-bucket LeftAnti drop
+    assert(!exact.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(lsh.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    val toMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (e, l) = (toMap(exact), toMap(lsh))
+    // hits are exact-verified on both paths; on this fixture every
+    // cross pair is a candidate in some band, so the results coincide
+    assert(l === e)
+    assert(l(1L) === ((1L, 1.0)), "identical-direction pair always recalled")
+  }
+
+  test("trainMerges: k select→apply rounds, greedy non-overlap apply") {
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c"),
+      (3L, "b c"),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TokenizerOps.trainMerges(docs, col("text"), k = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // round 0: "a b"×4 wins; apply merges d1 → [a_b,a_b,a_b], d2 → [a_b,c]
+    // round 1: "a_b a_b"×2 wins (greedy: d1's three a_b yield ONE pair
+    //          merge → [a_b_a_b, a_b], not two)
+    // round 2: all pairs tie at 1 — "a_b c" < "a_b_a_b a_b" < "b c"
+    //          (' ' sorts before '_'), tie broken by text ascending
+    assert(out.toSeq === Seq((0, "a b", 4L), (1, "a_b a_b", 2L),
+      (2, "a_b c", 1L)))
+  }
+
+  test("trainMerges: pairless corpus stops early, single round matches q108") {
+    val solo = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(TokenizerOps.trainMerges(solo, col("text"), k = 3).count() === 0)
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val one = TokenizerOps.trainMerges(docs, col("text"), k = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val top = TokenizerOps.topMergePairs(docs, col("text"), k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(one.toSeq === top.toSeq, "round 0 selection == topMergePairs")
+  }
 }

@@ -59,6 +59,19 @@ def main():
             continue
         try:
             exp = con.sql(oracles[name])
+            # Driver-parity type guard: this script compares str(v) of
+            # Python ints, which erases DuckDB's int128 widening (an
+            # uncast sum(BIGINT) -> HUGEINT), but the DRIVER's
+            # canonicalizer renders int128 differently and hash-fails.
+            # Fail here so "green locally" == "green at the driver".
+            drift = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+                     if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+            if drift:
+                print(f"FAIL {name}: oracle type drift {drift} — CAST the "
+                      f"oracle column(s) to BIGINT (DuckDB widens sum() "
+                      f"to int128; the driver hash-fails on it)")
+                n_bad += 1
+                continue
             e_cols, e_rows = canon([c.lower() for c in exp.columns], exp.fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
