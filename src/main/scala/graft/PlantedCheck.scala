@@ -105,8 +105,27 @@ object PlantedCheck {
         val crossBlock = scaled27
           .where(floor(col("d1") / dStride) =!= floor(col("d2") / dStride))
           .count()
+        // q27's truth must be UNCAPPED (ADVICE r10): q26 runs with
+        // maxShingleDf=100 as its scale contract, which legitimately
+        // drops true pairs whose shared shingles are all hot; MinHash
+        // banding has no df cap, so on a boilerplate-heavy corpus a
+        // correct q27 pair could be absent from the capped truth and
+        // fail not_in_truth spuriously. The uncapped base run is
+        // base-corpus-sized — a checker cost, not an operator path.
+        val q27Truth = {
+          val base = operators.Dedup.ngramJaccardPairs(
+              Tables.documents(spark, baseDir), col("doc_id"), col("text"),
+              3, 0.5, maxShingleDf = None)
+            .collect()
+          val baseDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(base.toIndexedSeq),
+            q26Expected.schema)
+          baseDf.crossJoin(spark.range(mult).select(col("id").as("k")))
+            .select((col("d1") + col("k") * dStride).as("d1"),
+              (col("d2") + col("k") * dStride).as("d2"), col("jac"))
+        }
         val joined = scaled27.as("s")
-          .join(q26Expected.as("e"), Seq("d1", "d2"), "left")
+          .join(q27Truth.as("e"), Seq("d1", "d2"), "left")
         val notInTruth = joined.where(col("e.jac").isNull).count()
         val wrongJac = joined.where(col("s.jac") =!= col("e.jac")).count()
         val got = scaled27.count()

@@ -12,8 +12,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * `runMain graft.ScaleProbe <sfDir> <mult1,mult2,...> [dedup]` → one
   * JSON line per multiplier. Replicas land under /tmp. The optional
-  * third arg `dedup` probes the documents-table near-dup shapes instead
-  * of the events shapes.
+  * third arg `dedup` probes the documents-table near-dup shapes,
+  * `hygiene` the corpus-hygiene shapes (decontaminate / seq-pack /
+  * mix / iterative BPE), instead of the events shapes.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -45,6 +46,9 @@ object ScaleProbe {
     if (annMode) { probeAnn(spark, sfDir); spark.stop(); return }
     if (args.lift(2).contains("lshpairs")) {
       probeLshPairs(spark, sfDir, mults); return
+    }
+    if (args.lift(2).contains("hygiene")) {
+      probeHygiene(spark, sfDir, mults); return
     }
 
     val base = Tables.events(spark, sfDir)
@@ -424,6 +428,86 @@ object ScaleProbe {
     }
   }
 
+  /** min-of-2 timing of `f` over `dir`'s parquet in a FRESH session —
+    * isolates each op's shuffle/spill footprint (between runs the
+    * ContextCleaner is nudged so run 1's dead shuffle files are deleted;
+    * one 500 k-doc jaccard run spills ~dozens of GB, so two runs' worth
+    * in one session can exceed the disk). */
+  private def inOwnSession(dir: String)(f: DataFrame => Unit): Double = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.range(1000000).selectExpr("sum(id % 7)").collect() // codegen warmup
+    val d = s.read.parquet(dir)
+    val best = (1 to 2).map { i =>
+      if (i > 1) { System.gc(); Thread.sleep(3000) }
+      val t0 = System.nanoTime(); f(d); (System.nanoTime() - t0) / 1e9
+    }.min
+    s.stop()
+    math.rint(best * 1000) / 1000
+  }
+
+  /** Corpus-hygiene shapes at 1×→N× (VERDICT r10 item 4): benchmark
+    * decontamination (two keyed shuffles, broadcast bench grams),
+    * sequence packing (one shard shuffle + window), target-mix
+    * resampling (corpus never shuffled, broadcast rates) and the
+    * iterative BPE loop (k pair-count aggregates). Documents are
+    * replicated with disjoint id strides and per-replica token salting
+    * so shingle/pair vocabularies grow with the corpus instead of
+    * collapsing onto the base corpus' distinct sets; lang/source are
+    * copied unchanged so strata and the benchmark partition scale
+    * proportionally. `runMain graft.ScaleProbe <sfDir> 1,3,10,30 hygiene` */
+  private def probeHygiene(spark: SparkSession, sfDir: String,
+                           mults: Array[Int]): Unit = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val idStride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def replicate(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("doc_id") + lit(i * idStride)).as("doc_id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_r$i")).as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+    val dirs = mults.map { m =>
+      val dir = s"/tmp/graft_scale_hyg_${m}x"
+      replicate(m).write.mode("overwrite").parquet(dir)
+      m -> dir
+    }
+    val counts = dirs.map { case (m, dir) =>
+      m -> spark.read.parquet(dir).count()
+    }.toMap
+    spark.stop()
+
+    val mixTargets =
+      Seq("en", "de", "fr", "es", "zh").map(_ -> 0.2).toMap
+    dirs.foreach { case (m, dir) =>
+      var flagged = 0L
+      val tDecon = inOwnSession(dir) { d =>
+        flagged = operators.Decontaminate.overlap(d, col("doc_id"),
+          col("text"), col("source") === "src19", n = 4).count()
+      }
+      val tPack = inOwnSession(dir) { d =>
+        operators.SeqPack.pack(d, col("doc_id"), col("text"), 256, 8)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val tMix = inOwnSession(dir) { d =>
+        operators.CorpusFilter.mixToTarget(d, col("doc_id"), col("lang"),
+            mixTargets)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val tBpe = inOwnSession(dir) { d =>
+        // result is a k-row LocalRelation; the work is the k rounds
+        operators.TokenizerOps.trainMerges(d, col("text"), k = 4)
+      }
+      println(s"""{"mult":$m,"docs":${counts(m)},"decontaminate_s":$tDecon,"decon_flagged":$flagged,"seq_pack_s":$tPack,"mix_s":$tMix,"bpe_train4_s":$tBpe}""")
+    }
+  }
+
   private def probeDedup(spark: SparkSession, sfDir: String,
                          mults: Array[Int]): Unit = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -443,28 +527,6 @@ object ScaleProbe {
       m -> spark.read.parquet(dir).count()
     }.toMap
     spark.stop() // replica writer's shuffle files released before timing
-
-    def inOwnSession(dir: String)(f: DataFrame => Unit): Double = {
-      val s = SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.range(1000000).selectExpr("sum(id % 7)").collect() // codegen warmup
-      val d = s.read.parquet(dir)
-      val best = (1 to 2).map { i =>
-        // between runs, force the ContextCleaner to notice run 1's now-
-        // unreachable ShuffleDependencies and delete their files — one
-        // 500 k-doc jaccard run spills ~dozens of GB, so two runs' worth
-        // of dead files in one session can exceed the disk
-        if (i > 1) { System.gc(); Thread.sleep(3000) }
-        val t0 = System.nanoTime(); f(d); (System.nanoTime() - t0) / 1e9
-      }.min
-      s.stop()
-      math.rint(best * 1000) / 1000
-    }
 
     dirs.foreach { case (m, dir) =>
       var pairs = 0L

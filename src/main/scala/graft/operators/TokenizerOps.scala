@@ -87,6 +87,10 @@ object TokenizerOps {
         slice(tk, lit(2), size(tk) - 1),
         (a, b) => concat(a, lit(" "), b))
     }
+    // Sliding two-generation cache: round i's winner aggregate is the
+    // action that materializes cur_i (reading cur_{i-1}'s cache), after
+    // which cur_{i-1} is dead — holding all k generations would pin k
+    // corpus copies in storage memory for no reader.
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var cur = df.select(concat(lit(" "),
       array_join(TextFunctions.tokens(text), "  "), lit(" ")).as("s")).cache()
@@ -96,6 +100,7 @@ object TokenizerOps {
       val w = cur.select(explode(pairsOf(col("s"))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      while (cached.size > 1) cached.remove(0).unpersist() // cur is hot now
       if (w.nonEmpty) { // a pairless corpus simply stops early
         val pair = w(0).getString(0)
         merges += ((step, pair, w(0).getLong(1)))
