@@ -1498,7 +1498,35 @@ object SparkEntry {
     // map-only literal replace; merge selection is sequential by
     // definition.
     "q110_bpe_train" -> ((s, d) =>
-      TokenizerOps.trainMerges(Tables.documents(s, d), col("text"), k = 8))
+      TokenizerOps.trainMerges(Tables.documents(s, d), col("text"), k = 8)),
+
+    // Q111 — the ABOVE-broadcast branch of q109's gate, exercised
+    // unconditionally (q109 covers the exact path; this is its q102:
+    // the production fallback driver-checked, knobs recomputed in SQL).
+    // The "benchmark" is q102's planted perturbed twins — the actual
+    // contamination scenario (eval items near-identical to training
+    // docs); twin ids live above a data-derived stride so they never
+    // collide with corpus ids at any SF.
+    "q111_embed_decon_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"))
+      val stride = base.agg(max(col("id"))).head().getLong(0) + 1
+      val twins = base.where(col("id") % 10 === 0)
+        .withColumn("v2", transform(col("v"), (x, i) =>
+          x.cast("double") +
+            (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
+              (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
+        .select((col("id") + stride).as("id"), col("v2").as("v"),
+          lit(true).as("is_bench"))
+      val corpus = base
+        .select(col("id"),
+          transform(col("v"), x => x.cast("double")).as("v"),
+          lit(false).as("is_bench"))
+        .unionByName(twins)
+      Decontaminate.embedOverlapLsh(corpus, col("id"), col("v"),
+        col("is_bench"), threshold = 0.9)
+    })
   )
 
   /** q107 target language shares (uniform over the corpus' 5 langs). */
@@ -3394,6 +3422,30 @@ object SparkEntry {
         threshold = 0.3),
 
     "q110_bpe_train" ->
-      TokenizerOps.trainMergesSql("text", k = 8)
+      TokenizerOps.trainMergesSql("text", k = 8),
+
+    "q111_embed_decon_lsh" -> {
+      // the same stride-offset planted-twin corpus as the Spark side
+      // (q102's twin formula; stride = max id + 1, recomputed in SQL)
+      val corpusSql =
+        """SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v,
+                  FALSE AS is_bench
+           FROM (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                 FROM embeddings)
+           UNION ALL
+           SELECT id + (SELECT max(CAST(vec_id AS BIGINT)) + 1
+                        FROM embeddings) AS id,
+                  list(CAST(x AS DOUBLE) +
+                       ((id*31 + (ord-1)*17) % 7 - 3) *
+                       (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v,
+                  TRUE AS is_bench
+           FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS ord
+                 FROM (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                       FROM embeddings)
+                 WHERE id % 10 = 0)
+           GROUP BY id"""
+      Decontaminate.embedOverlapLshSql("id", "v", "is_bench",
+        threshold = 0.9, sourceSql = corpusSql)
+    }
   )
 }

@@ -174,6 +174,56 @@ object Decontaminate {
         SELECT id AS vec_id, count(*) AS n_hits, round(max(cos), 4) AS max_cos
         FROM s WHERE cos >= $threshold GROUP BY 1"""
 
+  /** DuckDB twin of [[embedOverlapLsh]] — the above-broadcast branch of
+    * the gate, driver-checkable like q102: the knobs are RECOMPUTED in
+    * SQL from the training-side count, planes/coding/hot-bucket-cap/
+    * candidate-join/exact-verify all mirror the Spark path from the
+    * same deterministic definitions, so engine/oracle parity is by
+    * construction (recall is probabilistic only against the FULL truth;
+    * the two engines compute the identical candidate set). */
+  def embedOverlapLshSql(idE: String, vecE: String, benchPred: String,
+                         threshold: Double, targetRecall: Double = 0.9,
+                         bucketCap: Int = 10000,
+                         sourceSql: String = "SELECT * FROM embeddings"): String =
+    s"""WITH base AS (SELECT $idE AS id, $vecE AS v, ($benchPred) AS is_bench,
+                        ${Similarity.dotSql(vecE, vecE)} AS n2
+                      FROM ($sourceSql) src),
+        kp AS (SELECT GREATEST(4, CAST(ceil(
+                 ln(GREATEST(1.0, count(*) / 8.0)) / ln(2)) AS INT)) AS p
+               FROM base WHERE NOT is_bench),
+        kb AS (SELECT p, GREATEST(2, CAST(ceil(
+                 ln(1 - $targetRecall) /
+                 ln(1 - pow(1 - acos($threshold) / pi(), p))) AS INT)) AS bands
+               FROM kp),
+        pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,
+                      CAST(id % (SELECT p FROM kp) AS INT) AS px, v AS p_v
+               FROM base
+               WHERE id < (SELECT p FROM kp) * (SELECT bands FROM kb)),
+        coded AS (SELECT c.id, c.is_bench, band,
+                    CAST(sum(CASE WHEN ${Similarity.dotSql("c.v", "p_v")} >= 0
+                             THEN (1::BIGINT << px) ELSE 0 END) AS BIGINT)
+                      AS bucket
+                  FROM base c CROSS JOIN pl GROUP BY 1, 2, 3),
+        hot AS (SELECT band, bucket FROM coded WHERE is_bench
+                GROUP BY 1, 2 HAVING count(*) > $bucketCap),
+        bok AS (SELECT c.id AS b_id, c.band, c.bucket
+                FROM coded c LEFT JOIN hot h
+                  ON c.band = h.band AND c.bucket = h.bucket
+                WHERE c.is_bench AND h.band IS NULL),
+        cand AS (SELECT DISTINCT t.id AS t_id, b.b_id
+                 FROM coded t JOIN bok b
+                   ON t.band = b.band AND t.bucket = b.bucket
+                 WHERE NOT t.is_bench),
+        scored AS (SELECT c.t_id,
+                     ${Similarity.dotSql("t.v", "b.v")} / sqrt(t.n2 * b.n2)
+                       AS cos
+                   FROM cand c
+                   JOIN base t ON t.id = c.t_id
+                   JOIN base b ON b.id = c.b_id)
+        SELECT t_id AS vec_id, count(*) AS n_hits,
+               round(max(cos), 4) AS max_cos
+        FROM scored WHERE cos >= $threshold GROUP BY 1"""
+
   /** DuckDB twin of [[overlap]] — same shingling, same 60-bit gram
     * hash, same benchmark-side dedup. */
   def overlapSql(idE: String, textE: String, benchPred: String,
