@@ -38,25 +38,48 @@ object PiiFunctions {
        "|(\\([0-9]{2,4}\\)[-. ]?|[0-9]{2,4}[-. ])[0-9]{3,4}[-. ][0-9]{2,6})",
      "<PHONE>"))
 
+  /** Required literal per class: a row without it cannot match, so the
+    * expensive regex pass is skipped behind a codegen'd `contains`.
+    * Semantics-preserving by construction (the email pattern demands a
+    * literal '@') and mirrored in the SQL twin. This is a measured fix,
+    * not hygiene: on the salted sf1 corpus every token matches the
+    * email local-part class end-to-end before failing at '@', and Java's
+    * backtracking turns that into ~11 s of the 16 s q104 sweep leg
+    * (DiagPii A/B; docs/SCALING.md r11) — '@'-free rows skip it all. */
+  private val requiredLiteral: Map[String, String] = Map("email" -> "@")
+
   /** Per-class match count columns, aliased `n_<name>`. */
   def counts(text: Column): Seq[Column] =
     patterns.map { case (name, re, _) =>
-      regexp_count(text, lit(re)).as(s"n_$name")
+      val c = regexp_count(text, lit(re))
+      requiredLiteral.get(name)
+        .map(g => when(contains(text, lit(g)), c).otherwise(lit(0)))
+        .getOrElse(c)
+        .as(s"n_$name")
     }
 
   def countsSql(e: String): Seq[(String, String)] =
     patterns.map { case (name, re, _) =>
-      s"n_$name" -> s"len(regexp_extract_all($e, '$re'))"
+      val raw = s"len(regexp_extract_all($e, '$re'))"
+      s"n_$name" -> requiredLiteral.get(name)
+        .map(g => s"(CASE WHEN strpos($e, '$g') > 0 THEN $raw ELSE 0 END)")
+        .getOrElse(raw)
     }
 
   /** Text with every PII match replaced by its class tag. */
   def redact(text: Column): Column =
-    patterns.foldLeft(text) { case (c, (_, re, tag)) =>
-      regexp_replace(c, lit(re), lit(tag))
+    patterns.foldLeft(text) { case (c, (name, re, tag)) =>
+      val r = regexp_replace(c, lit(re), lit(tag))
+      requiredLiteral.get(name)
+        .map(g => when(contains(c, lit(g)), r).otherwise(c))
+        .getOrElse(r)
     }
 
   def redactSql(e: String): String =
-    patterns.foldLeft(e) { case (s, (_, re, tag)) =>
-      s"regexp_replace($s, '$re', '$tag', 'g')"
+    patterns.foldLeft(e) { case (s, (name, re, tag)) =>
+      val r = s"regexp_replace($s, '$re', '$tag', 'g')"
+      requiredLiteral.get(name)
+        .map(g => s"(CASE WHEN strpos($s, '$g') > 0 THEN $r ELSE $s END)")
+        .getOrElse(r)
     }
 }
