@@ -1526,7 +1526,17 @@ object SparkEntry {
         .unionByName(twins)
       Decontaminate.embedOverlapLsh(corpus, col("id"), col("v"),
         col("is_bench"), threshold = 0.9)
-    })
+    }),
+
+    // Q112 — DSIR importance resampling: weight every training doc by
+    // hashed-unigram likelihood ratio toward the held-out 'src19'
+    // target partition; kept ⟺ more target-like than source-like.
+    // Knobs sized to the corpus (α·B must not swamp the target token
+    // stream — grid-measured at the gate SF: 4096/0.5 pushed every
+    // logw < −9; 256/0.1 centers the distribution and keeps ~8 %).
+    "q112_dsir_sample" -> ((s, d) =>
+      CorpusFilter.dsirWeights(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source") === "src19", buckets = 256, alpha = 0.1))
   )
 
   /** q107 target language shares (uniform over the corpus' 5 langs). */
@@ -3446,6 +3456,10 @@ object SparkEntry {
            GROUP BY id"""
       Decontaminate.embedOverlapLshSql("id", "v", "is_bench",
         threshold = 0.9, sourceSql = corpusSql)
-    }
+    },
+
+    "q112_dsir_sample" ->
+      CorpusFilter.dsirWeightsSql("doc_id", "text", "source = 'src19'",
+        buckets = 256, alpha = 0.1)
   )
 }

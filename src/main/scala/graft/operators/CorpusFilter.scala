@@ -115,6 +115,91 @@ object CorpusFilter {
     s"(($h % 1000000) < ($thr))"
   }
 
+  // --------------------------------------------- importance resampling
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): weight every
+    * training document by how much more likely its tokens are under a
+    * TARGET domain (here: a held-out partition of the corpus) than
+    * under the raw source distribution, using hashed unigram counts —
+    * the standard recipe for steering a pretraining mix toward a
+    * domain without a trained classifier.
+    *
+    * Per hashed bucket `b`: lr[b] = ln(ct[b]+α) − ln(cs[b]+α) over the
+    * target/source token streams; per document:
+    * `logw = Σ_tokens lr[bucket] + n_tok·(ln(Ns+αB) − ln(Nt+αB))`
+    * (the additive-smoothing normalizers). `kept` admits documents
+    * whose ROUNDED logw exceeds `keepThreshold` (> 0 ⇔ "more
+    * target-like than source-like"); rounding first keeps the
+    * admission decision inside the gate's 4-decimal float-parity
+    * contract. Deterministic end-to-end — no RNG, no trained state.
+    *
+    * Scale shape: the bucket stats are one tiny aggregate (≤ `buckets`
+    * rows, broadcast back), the normalizers a 1-row broadcast, and the
+    * per-document sum ONE map-side-combined aggregate keyed by doc id
+    * (exploded tokens stay row-local, so partials arrive ~1 row per
+    * doc) — the q103 shape. The corpus is scanned twice (stats, score);
+    * at 100 TB the stats pass can run on a sample without changing the
+    * plan. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, buckets: Int = 4096,
+                  alpha: Double = 0.5,
+                  keepThreshold: Double = 0.0): DataFrame = {
+    require(buckets > 0 && alpha > 0, s"buckets=$buckets alpha=$alpha")
+    val toks = df.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(TextFunctions.tokens(text)).as("tok"))
+      .withColumn("b",
+        pmod(TextFunctions.hash32(col("tok")), lit(buckets.toLong)))
+    val lr = toks.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+      .select(col("b"), (log(col("ct") + alpha) - log(col("cs") + alpha))
+        .as("lr"))
+    val c0 = toks.agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("ns"))
+      .select((log(col("ns") + alpha * buckets) -
+        log(col("nt") + alpha * buckets)).as("c0"))
+    val logw = round(col("s") + col("n_tok") * col("c0"), 4)
+    toks.where(!col("is_t"))
+      .join(broadcast(lr), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("lr"), lit(0.0))).as("s"))
+      .crossJoin(broadcast(c0))
+      .select(col("doc_id"), col("n_tok"), logw.as("logw"),
+        (logw > keepThreshold).as("kept"))
+  }
+
+  /** SQL twin of [[dsirWeights]] — same hash buckets, same smoothing,
+    * same rounded-threshold admission. */
+  def dsirWeightsSql(idE: String, textE: String, targetPred: String,
+                     buckets: Int = 4096, alpha: Double = 0.5,
+                     keepThreshold: Double = 0.0): String = {
+    val h = TextFunctions.hash32Sql("tok")
+    s"""WITH tk AS (SELECT $idE AS doc_id, ($targetPred) AS is_t,
+                           unnest(${TextFunctions.tokensSql(textE)}) AS tok
+                    FROM documents),
+        toks AS (SELECT doc_id, is_t, ($h % $buckets) AS b FROM tk),
+        lr AS (SELECT b,
+                 ln(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + $alpha) -
+                 ln(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) + $alpha) AS lr
+               FROM toks GROUP BY 1),
+        c0 AS (SELECT
+                 ln(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+                    + $alpha * $buckets) -
+                 ln(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
+                    + $alpha * $buckets) AS c0
+               FROM toks),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                       sum(coalesce(lr, 0)) AS s
+                FROM toks LEFT JOIN lr USING (b)
+                WHERE NOT is_t GROUP BY 1)
+        SELECT doc_id, n_tok, round(s + n_tok * c0, 4) AS logw,
+               (round(s + n_tok * c0, 4) > $keepThreshold) AS kept
+        FROM agg CROSS JOIN c0"""
+  }
+
   // ------------------------------------------------- repetition profile
 
   /** Gopher-style within-document repetition signals: the fraction of

@@ -121,6 +121,49 @@ class PipelineHygieneSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("en", 600L, 0L)))
   }
 
+  test("dsir: hashed-unigram importance weights match an independent derivation") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "cat dog", true),       // the target "domain"
+      (2L, "cat cat fish", false), // cat-heavy → most target-like
+      (3L, "dog dog dog", false),
+      (4L, "fish", false))
+    val (bkts, a) = (8, 0.5)
+    // independent re-derivation: MessageDigest md5 + plain collections
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val toks = fixture.flatMap { case (id, t, tg) =>
+      t.split(" ").map(tok => (id, tg, h32(tok) % bkts))
+    }
+    val ct = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    val cs = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    val nt = toks.count(_._2).toDouble
+    val ns = toks.size - nt
+    val c0 = math.log(ns + a * bkts) - math.log(nt + a * bkts)
+    val want = toks.filterNot(_._2).groupBy(_._1).map { case (id, ts) =>
+      val s = ts.map { case (_, _, b) =>
+        math.log(ct.getOrElse(b, 0) + a) - math.log(cs.getOrElse(b, 0) + a)
+      }.sum
+      id -> math.rint((s + ts.size * c0) * 10000) / 10000
+    }
+    val docs = fixture.toDF("doc_id", "text", "is_t")
+    val got = CorpusFilter.dsirWeights(docs, $"doc_id", $"text", $"is_t",
+        buckets = bkts, alpha = a)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id)._1 === w, s"doc $id")
+      assert(got(id)._2 === (w > 0.0), s"doc $id kept")
+    }
+    // the cat-heavy doc must out-weigh the others (cat is 1/2 the
+    // target stream, dog the other half, fish absent from it)
+    assert(got(2L)._1 > got(4L)._1 && got(3L)._1 > got(4L)._1)
+  }
+
   test("pii: phone shapes beyond the +CC-NNN fixture; digit runs untouched") {
     import spark.implicits._
     val docs = Seq(
