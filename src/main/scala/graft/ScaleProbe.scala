@@ -504,7 +504,12 @@ object ScaleProbe {
         // result is a k-row LocalRelation; the work is the k rounds
         operators.TokenizerOps.trainMerges(d, col("text"), k = 4)
       }
-      println(s"""{"mult":$m,"docs":${counts(m)},"decontaminate_s":$tDecon,"decon_flagged":$flagged,"seq_pack_s":$tPack,"mix_s":$tMix,"bpe_train4_s":$tBpe}""")
+      val tDsir = inOwnSession(dir) { d =>
+        operators.CorpusFilter.dsirWeights(d, col("doc_id"), col("text"),
+            col("source") === "src19", buckets = 256, alpha = 0.1)
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(s"""{"mult":$m,"docs":${counts(m)},"decontaminate_s":$tDecon,"decon_flagged":$flagged,"seq_pack_s":$tPack,"mix_s":$tMix,"bpe_train4_s":$tBpe,"dsir_s":$tDsir}""")
     }
   }
 
