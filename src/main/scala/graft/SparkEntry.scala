@@ -1536,7 +1536,33 @@ object SparkEntry {
     // logw < −9; 256/0.1 centers the distribution and keeps ~8 %).
     "q112_dsir_sample" -> ((s, d) =>
       CorpusFilter.dsirWeights(Tables.documents(s, d), col("doc_id"),
-        col("text"), col("source") === "src19", buckets = 256, alpha = 0.1))
+        col("text"), col("source") === "src19", buckets = 256, alpha = 0.1)),
+
+    // Q113 — SemDeDup: cluster-scoped semantic dedup (cells auto-sized
+    // to the corpus, within-cell cos ≥ 0.9, smaller-id anchor keeps).
+    // The synthetic embeddings have no natural near-dups (max pairwise
+    // cos ≈ 0.51), so the corpus is the q102/q111 planted-twin one —
+    // every twin's anchor is its smaller-id source, provided the
+    // perturbation leaves it in the same cell (cell-boundary misses are
+    // SemDeDup's documented recall limitation, identically mirrored in
+    // the oracle).
+    "q113_semdedup" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s) // vec_dot
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"))
+      val stride = base.agg(max(col("id"))).head().getLong(0) + 1
+      val twins = base.where(col("id") % 10 === 0)
+        .withColumn("v2", transform(col("v"), (x, i) =>
+          x.cast("double") +
+            (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
+              (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
+        .select((col("id") + stride).as("id"), col("v2").as("v"))
+      val corpus = base
+        .select(col("id"), transform(col("v"), x => x.cast("double")).as("v"))
+        .unionByName(twins)
+      Dedup.semDedup(corpus, col("id"), col("v"), threshold = 0.9)
+    })
   )
 
   /** q107 target language shares (uniform over the corpus' 5 langs). */
@@ -3460,6 +3486,25 @@ object SparkEntry {
 
     "q112_dsir_sample" ->
       CorpusFilter.dsirWeightsSql("doc_id", "text", "source = 'src19'",
-        buckets = 256, alpha = 0.1)
+        buckets = 256, alpha = 0.1),
+
+    "q113_semdedup" -> {
+      val corpusSql =
+        """SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
+           FROM (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                 FROM embeddings)
+           UNION ALL
+           SELECT id + (SELECT max(CAST(vec_id AS BIGINT)) + 1
+                        FROM embeddings) AS id,
+                  list(CAST(x AS DOUBLE) +
+                       ((id*31 + (ord-1)*17) % 7 - 3) *
+                       (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v
+           FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS ord
+                 FROM (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+                       FROM embeddings)
+                 WHERE id % 10 = 0)
+           GROUP BY id"""
+      Dedup.semDedupSql("id", "v", threshold = 0.9, sourceSql = corpusSql)
+    }
   )
 }

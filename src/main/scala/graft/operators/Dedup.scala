@@ -516,4 +516,71 @@ object Dedup {
       count(lit(1)).over(w).as("n_docs"),
       (col("n") === col("label")).as("is_survivor"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space dedup
+    * that only ever compares vectors WITHIN a k-means cell — the
+    * cluster scoping is what makes semantic dedup tractable at corpus
+    * scale (within-cell pair work is Σ|cell|², bounded by the cell
+    * size, never n²). Cells come from [[Similarity.ivfAssign]] (first-K
+    * deterministic centroids, the q56 contract); K auto-sizes to the
+    * corpus (`max(8, ceil(n / targetCell))`) so cells stay ~targetCell
+    * wide at ANY corpus size — a fixed K is the same silent quadratic
+    * the LSH knobs guard against.
+    *
+    * Keep rule (deterministic, RNG-free): a vector is dropped iff some
+    * SAME-CELL neighbor with a smaller id has cosine ≥ `threshold` —
+    * the pairwise-anchored greedy contract (the exact cluster-resolved
+    * alternative is [[dupClusters]] over the pair set). Returns
+    * (vec_id, cell, kept) for every vector.
+    *
+    * Scale shape: one count (planning statistic), the cell assignment's
+    * broadcast-centroid argmin, ONE shuffle on cell for the self-join,
+    * an id-keyed distinct of the drop set, and a left-anti-style flag
+    * join. */
+  def semDedup(emb: DataFrame, id: Column, vec: Column,
+               threshold: Double, targetCell: Int = 256): DataFrame = {
+    val n = emb.count()
+    val k = math.max(8, math.ceil(n.toDouble / targetCell).toInt)
+    val cells = Similarity.ivfAssign(emb, id, vec, k)
+    val anchors = cells.select(col("cell"), col("id").as("a_id"),
+      col("v").as("a_v"), col("n2").as("a_n2"))
+    val dropped = cells.join(anchors, Seq("cell"))
+      .where(col("a_id") < col("id") &&
+        Similarity.dot(col("v"), col("a_v")) /
+          sqrt(col("n2") * col("a_n2")) >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("dropped", lit(true))
+    cells.join(dropped, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** DuckDB twin of [[semDedup]] — same auto-K, same first-K centroids
+    * and (s, c_id) argmin tie-break as the q56 oracle, same smaller-id
+    * anchor rule. */
+  def semDedupSql(idE: String, vecE: String, threshold: Double,
+                  targetCell: Int = 256,
+                  sourceSql: String = "SELECT * FROM embeddings"): String =
+    s"""WITH base AS (SELECT $idE AS id, $vecE AS v,
+                        ${Similarity.dotSql(vecE, vecE)} AS n2
+                      FROM ($sourceSql) src),
+        kk AS (SELECT GREATEST(8, CAST(ceil(count(*) / $targetCell.0)
+                 AS INT)) AS k FROM base),
+        c AS (SELECT id AS c_id, v AS c_v, n2 AS cn2 FROM base
+              WHERE id < (SELECT k FROM kk)),
+        a AS (SELECT base.id, base.v, base.n2, c_id,
+                (cn2 - 2.0 * ${Similarity.dotSql("base.v", "c_v")}) AS s
+              FROM base CROSS JOIN c),
+        cell AS (SELECT id, v, n2, c_id AS cell FROM a
+                 QUALIFY row_number() OVER (PARTITION BY id
+                   ORDER BY s, c_id) = 1),
+        dup AS (SELECT DISTINCT b.id
+                FROM cell b JOIN cell a2
+                  ON a2.cell = b.cell AND a2.id < b.id
+                WHERE ${Similarity.dotSql("a2.v", "b.v")} /
+                      sqrt(a2.n2 * b.n2) >= $threshold)
+        SELECT cell.id AS vec_id, cell.cell AS cell,
+               (dup.id IS NULL) AS kept
+        FROM cell LEFT JOIN dup ON cell.id = dup.id"""
 }

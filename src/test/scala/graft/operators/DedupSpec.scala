@@ -196,4 +196,29 @@ class DedupSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("d1", "d2"), $"d1", $"d2")
     assert(none.count() == 0)
   }
+
+  test("semDedup: within-cell anchors drop, cross-cell near-dups survive") {
+    // centroids = ids < k present (here {0, 1}): two directions.
+    // cell 0 holds {0, 10, 11}: both 10 and 11 are ≥0.9-cos to anchor 0
+    // → dropped. cell 1 holds {1, 12, 13}: 12 is ≥0.9 to anchor 1 →
+    // dropped; 13 (diagonal) is <0.9 to everything in its cell → kept
+    // even though cells are what SCOPE the comparisons.
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 1.0)),
+      (10L, Array(0.99, 0.1)),
+      (11L, Array(0.995, 0.09)),
+      (12L, Array(-0.1, 0.995)),
+      (13L, Array(0.7, 0.72)))
+      .toDF("vec_id", "v")
+    val out = Dedup.semDedup(vecs, $"vec_id", $"v", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out.view.mapValues(_._2).toMap ===
+      Map(0L -> true, 1L -> true, 10L -> false, 11L -> false,
+        12L -> false, 13L -> true))
+    // cell scoping is real: 10/11 share 0's cell, 12/13 share 1's
+    assert(out(10L)._1 === out(0L)._1 && out(11L)._1 === out(0L)._1)
+    assert(out(12L)._1 === out(1L)._1 && out(13L)._1 === out(1L)._1)
+  }
 }
