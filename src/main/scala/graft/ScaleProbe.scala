@@ -423,8 +423,35 @@ object ScaleProbe {
       val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
       assert(recall >= 0.85,
         s"planted-pair recall $recall below 0.85 at mult=$m ($hit/$nPlanted)")
+      // SemDeDup on the same corpus: time + twin-drop recall (a planted
+      // twin above threshold whose source shares its cell MUST be
+      // dropped — cell-boundary misses are the operator's documented
+      // recall limitation, so the denominator is same-cell eligible
+      // twins, mirroring the LSH leg's eligible-denominator lesson).
+      var dropped = 0L
+      val tSem = (1 to 2).map { i =>
+        if (i > 1) { System.gc(); Thread.sleep(2000) }
+        val t0 = System.nanoTime()
+        dropped = operators.Dedup.semDedup(d, col("id"), col("v"), 0.9)
+          .where(!col("kept")).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val cells = operators.Similarity.ivfAssign(d, col("id"), col("v"),
+          math.max(8, math.ceil(nVec / 256.0).toInt))
+        .select(col("id"), col("cell"))
+      val eligible = plantedPairs
+        .join(cells.select(col("id").as("d1"), col("cell").as("c1")), Seq("d1"))
+        .join(cells.select(col("id").as("d2"), col("cell").as("c2")), Seq("d2"))
+        .where(col("c1") === col("c2"))
+      val nEligible = eligible.count()
+      val semHit = operators.Dedup.semDedup(d, col("id"), col("v"), 0.9)
+        .where(!col("kept")).select(col("vec_id").as("d2"))
+        .join(eligible, Seq("d2"), "left_semi").count()
+      val semRecall = if (nEligible == 0) 1.0 else semHit.toDouble / nEligible
+      assert(semRecall == 1.0,
+        s"same-cell twin not dropped at mult=$m ($semHit/$nEligible)")
       s.stop()
-      println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs,"planted":$nPlanted,"planted_recall":${math.rint(recall * 10000) / 10000}}""")
+      println(s"""{"mult":$m,"vectors":$nVec,"planes":$p,"bands":$bands,"lsh_neardup_pairs_s":${math.rint(best * 1000) / 1000},"pairs":$pairs,"planted":$nPlanted,"planted_recall":${math.rint(recall * 10000) / 10000},"semdedup_s":${math.rint(tSem * 1000) / 1000},"sem_dropped":$dropped,"sem_eligible":$nEligible}""")
     }
   }
 

@@ -213,20 +213,28 @@ object Similarity {
     * (argmin over `‖c‖² − 2·v·c`; ‖v‖² is constant per vector and drops
     * out), ties broken by centroid id. Centroids are the first K corpus
     * vectors — a deterministic stand-in for the k-means training step,
-    * so engine and oracle share no trained state. */
+    * so engine and oracle share no trained state.
+    *
+    * The argmin aggregate carries ONLY (score, c_id) — never the
+    * vector. An earlier shape smuggled `v` through the n×K fan-out via
+    * `first(v)` and at auto-K corpus sizes (K ∝ n) the per-fan-out-row
+    * array copy dominated everything: the 66 k-vector semdedup probe
+    * leg measured 84.4 s, and re-joining `v` by id afterwards (one
+    * narrow n-row join) cut it to seconds. */
   def ivfAssign(emb: DataFrame, id: Column, vec: Column,
                 kCentroids: Int): DataFrame = {
     ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
     val cents = base.where(col("id") < kCentroids)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("n2").as("cn2"))
-    base.join(broadcast(cents))
+    val assign = base.join(broadcast(cents))
       .groupBy(col("id"))
       .agg(
         min(struct((col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
-          col("c_id").as("c"))).as("m"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .select(col("id"), col("v"), col("n2"), col("m.c").as("cell"))
+          col("c_id").as("c"))).as("m"))
+      .select(col("id"), col("m.c").as("cell"))
+    base.join(assign, Seq("id"))
+      .select(col("id"), col("v"), col("n2"), col("cell"))
   }
 
   /** IVF ANN (nprobe = 1): exact cosine top-k within the query's own
