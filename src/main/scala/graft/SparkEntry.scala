@@ -81,14 +81,15 @@ object SparkEntry {
     * artifact number was render — VERDICT r9 item 3). The oracle
     * contract is untouched: `queries` still renders inline. */
   private[graft] def q76Pipeline(lines: DataFrame): DataFrame =
-    graft.ingest.TtnEnvelope.parse(lines, col("line"))
+    // r12: parseBest fuses the D5 argmax + gateway count into the parse
+    // itself (VERDICT r11 item 2) — the gateway array never materializes
+    graft.ingest.TtnEnvelope.parseBest(lines, col("line"))
       .select(col("topic"), col("app_id"), col("dev_id"),
         col("port"), col("counter"),
         col("payload").cast("string").as("payload_str"),
         unix_timestamp(to_timestamp(col("event_time"),
           "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("resolved_ts"),
-        size(col("gateways")).as("n_gateways"),
-        col("best_gateway"), col("best_score"))
+        col("n_gateways"), col("best_gateway"), col("best_score"))
 
   /** Epoch microseconds of a (possibly NTZ) timestamp column. */
   private def eUs(c: Column): Column = unix_micros(c.cast("timestamp"))
@@ -1454,9 +1455,17 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, concat(lit(" call +31-555-"),
           (col("doc_id") % 10000).cast("string"), lit(" today")))
           .otherwise(lit("")))
+      // r12: one native pii_scan (linear byte scanners, PiiScanSpec-pinned
+      // to the regex chain) replaces six backtracking-regex passes; the
+      // DuckDB oracle still states the declarative regex definition
+      graft.plans.GraftExtensions.register(s)
+      val p = PiiFunctions.scan(withPii)
       Tables.documents(s, d)
-        .select((col("doc_id") +: PiiFunctions.counts(withPii)) :+
-          md5(PiiFunctions.redact(withPii)).as("redacted_md5"): _*)
+        .select(col("doc_id"),
+          p.getField("n_email").as("n_email"),
+          p.getField("n_ipv4").as("n_ipv4"),
+          p.getField("n_phone").as("n_phone"),
+          md5(p.getField("redacted")).as("redacted_md5"))
     }),
 
     // Q105 — training-sequence offset packing: 256-token sequences over

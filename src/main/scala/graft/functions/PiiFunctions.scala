@@ -66,6 +66,18 @@ object PiiFunctions {
         .getOrElse(raw)
     }
 
+  /** One-call native scan: `struct<n_email, n_ipv4, n_phone, redacted>`
+    * with exactly the [[counts]]+[[redact]] semantics, computed by
+    * [[graft.plans.PiiScan]]'s linear byte scanners instead of six
+    * backtracking-regex passes (r11 verdict item 1: Java's regex engine
+    * left q104 5.9× DuckDB's RE2 at sf1; the native scan is engine-bound
+    * no more). Match-set equality with the regex chain is pinned by
+    * `PiiScanSpec`'s differential fuzz against java.util.regex itself;
+    * the SQL twins ([[countsSql]]/[[redactSql]]) are unchanged, so the
+    * DuckDB oracle still states the declarative regex definition.
+    * Caller must have registered [[graft.plans.GraftExtensions]]. */
+  def scan(text: Column): Column = call_function("pii_scan", text)
+
   /** Text with every PII match replaced by its class tag. */
   def redact(text: Column): Column =
     patterns.foldLeft(text) { case (c, (name, re, tag)) =>

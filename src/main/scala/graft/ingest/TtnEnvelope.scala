@@ -96,6 +96,33 @@ object TtnEnvelope {
       .drop("best")
   }
 
+  /** The fused q76 hot path (r12, VERDICT r11 item 2): like [[parse]]
+    * but the gateway array is reduced INSIDE the parse —
+    * `ttn_parse_best` streams the element count and the D5 argmax per
+    * element, so the per-row `array<struct>` never materializes.
+    * Output frame: (topic, app_id, dev_id, port, counter, payload,
+    * event_time, n_gateways, best_gateway, best_score) — exactly
+    * `parse(...)` + `size(gateways)` + `best_gateway(gateways)` except
+    * that `n_gateways` is null (not -1) for a null array; parity
+    * differential-fuzzed in TtnFastJsonSpec. */
+  def parseBest(lines: DataFrame, lineCol: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(lines.sparkSession)
+    val topic = substring_index(lineCol, " ", 1)
+    val json = lineCol.substr(length(topic) + 2, length(lineCol))
+    lines.select(
+      topic.as("topic"),
+      call_function("ttn_parse_best", json).as("e"))
+      .select(
+        col("topic"), col("e.app_id").as("app_id"),
+        col("e.dev_id").as("dev_id"), col("e.port").as("port"),
+        col("e.counter").as("counter"),
+        unbase64(col("e.payload_b64")).as("payload"),
+        col("e.event_time").as("event_time"),
+        col("e.n_gateways").as("n_gateways"),
+        col("e.best_gtw_id").as("best_gateway"),
+        round(col("e.best_score"), 2).as("best_score"))
+  }
+
   /** The original `from_json` + struct-navigation composition — the
     * reference semantics the native [[TtnFastJson]] parser must match;
     * kept as the differential-fuzz oracle (TtnFastJsonSpec) and as the

@@ -66,10 +66,69 @@ object TtnFastJson {
       StructField("rssi", DoubleType),
       StructField("snr", DoubleType)))))))
 
+  /** Fused envelope frame (r12, VERDICT r11 item 2): the gateway array
+    * is REDUCED inside the parse — element count plus the
+    * [[graft.plans.BestGateway]] argmax, streamed per element — so the
+    * per-row `array<struct>` (up to dozens of rows + boxes per envelope
+    * over 10 M envelopes) is never allocated. Null semantics:
+    * `n_gateways` is null iff the selected version's gateway array is
+    * null/absent (else the element count, nulls included — the `size()`
+    * contract on a non-null array); `best_score`/`best_gtw_id` are the
+    * fields of `best_gateway(gateways)`'s struct, both null when it is
+    * null. Parity with the unfused parse + size + best_gateway
+    * composition is differential-fuzzed in TtnFastJsonSpec. */
+  val fusedOutType: StructType = StructType(Seq(
+    StructField("app_id", StringType),
+    StructField("dev_id", StringType),
+    StructField("port", IntegerType),
+    StructField("counter", LongType),
+    StructField("payload_b64", StringType),
+    StructField("event_time", StringType),
+    StructField("n_gateways", IntegerType),
+    StructField("best_score", DoubleType),
+    StructField("best_gtw_id", StringType)))
+
   /** Stackless control-flow signal for malformed input — thrown at most
     * once per bad row, never on the well-formed path. */
   private object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Per-array gateway reduction state: element count + the BestGateway
+    * lexicographic (score, id) argmax, accumulated while the elements
+    * are parsed; `arr` additionally holds the materialized array on the
+    * unfused path. One short-lived instance per gateway-array
+    * OCCURRENCE (duplicate keys re-parse into a fresh one — last
+    * convertible occurrence wins, the Jackson contract). */
+  private final class GwAcc(buildArr: Boolean) {
+    var count = 0
+    var found = false
+    var nullScore = true
+    var score = 0.0
+    var id: UTF8String = null
+    val buf: ArrayBuffer[AnyRef] = if (buildArr) new ArrayBuffer[AnyRef](4) else null
+
+    /** BestGateway's exact per-element comparison (nulls-first (score,
+      * id) struct ordering; null elements skipped — the caller only
+      * feeds non-null elements here). */
+    def offer(gid: UTF8String, rssi: java.lang.Double, snr: java.lang.Double): Unit = {
+      val sNull = rssi == null || snr == null
+      val s = if (sNull) 0.0 else 10.0 * snr.doubleValue + 0.2 * rssi.doubleValue
+      val wins =
+        if (!found) true
+        else {
+          val c =
+            if (sNull && nullScore) 0
+            else if (sNull) -1
+            else if (nullScore) 1
+            else java.lang.Double.compare(s, score)
+          if (c != 0) c > 0
+          else if (gid == null) false
+          else if (id == null) true
+          else gid.compareTo(id) > 0
+        }
+      if (wins) { found = true; nullScore = sNull; score = s; id = gid }
+    }
   }
 
   // Cached key constants — UTF8String.equals is a byte compare, no
@@ -103,11 +162,20 @@ object TtnFastJson {
   def parse(line: UTF8String): InternalRow = {
     if (line == null) return null
     val b = line.getBytes
-    try doParse(b)
+    try doParse(b, fused = false)
     catch { case scala.util.control.NonFatal(_) => null }
   }
 
-  private def doParse(b: Array[Byte]): InternalRow = {
+  /** Parse one envelope into the [[fusedOutType]] frame — gateway array
+    * reduced in-stream, never materialized. */
+  def parseFused(line: UTF8String): InternalRow = {
+    if (line == null) return null
+    val b = line.getBytes
+    try doParse(b, fused = true)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def doParse(b: Array[Byte], fused: Boolean): InternalRow = {
     val n = b.length
     var i = 0
 
@@ -348,26 +416,32 @@ object TtnFastJson {
     var v2Cnt: java.lang.Long = null; var v3Cnt: java.lang.Long = null
     var v2Pay: UTF8String = null; var v3Pay: UTF8String = null
     var metaTime: UTF8String = null; var receivedAt: UTF8String = null
-    var v2Gws: GenericArrayData = null; var v3Gws: GenericArrayData = null
+    var v2Gws: GwAcc = null; var v3Gws: GwAcc = null
     var umSeen = false
 
     /** One gateway array: elements are objects (or JSON null →
       * struct(null,null,null), the arrays_zip contract). `v3` selects
       * which id key the element schema knows — "gtw_id" (v2) vs the
       * nested "gateway_ids.gateway_id" (v3); the OTHER version's id key
-      * is outside the element schema and is skipped like any unknown. */
-    def parseGwArray(v3: Boolean): GenericArrayData = {
+      * is outside the element schema and is skipped like any unknown.
+      * Returns null for a JSON null / non-array value; otherwise the
+      * streamed reduction (and, unfused, the materialized elements). */
+    def parseGwArray(v3: Boolean): GwAcc = {
       ws()
       if (isNullToken()) return null
       if (i >= n || b(i) != '[') { skipValue(); return null }
       i += 1; ws()
-      val out = new ArrayBuffer[AnyRef](4)
-      if (i < n && b(i) == ']') { i += 1; return new GenericArrayData(out.toArray) }
+      val acc = new GwAcc(buildArr = !fused)
+      if (i < n && b(i) == ']') { i += 1; return acc }
       var more = true
       while (more) {
         ws()
-        if (isNullToken()) out += new GenericInternalRow(Array[Any](null, null, null))
-        else {
+        if (isNullToken()) {
+          // null element: size() counts it, the argmax skips it
+          acc.count += 1
+          if (acc.buf != null)
+            acc.buf += new GenericInternalRow(Array[Any](null, null, null))
+        } else {
           var gid: UTF8String = null
           var rssi: java.lang.Double = null
           var snr: java.lang.Double = null
@@ -378,13 +452,16 @@ object TtnFastJson {
             else if (k.equals(K_SNR)) snr = parseDoubleOrSkip()
             else skipValue()
           }
-          out += new GenericInternalRow(Array[Any](gid, rssi, snr))
+          acc.count += 1
+          acc.offer(gid, rssi, snr)
+          if (acc.buf != null)
+            acc.buf += new GenericInternalRow(Array[Any](gid, rssi, snr))
         }
         ws()
         if (i < n && b(i) == ',') i += 1
         else { expect(']'); more = false }
       }
-      new GenericArrayData(out.toArray)
+      acc
     }
 
     /** v3: the element's id is nested one object deeper:
@@ -468,14 +545,23 @@ object TtnFastJson {
     // the first cut rejecting `{...} trailing` that from_json accepts).
 
     val port = if (v3Port != null) v3Port else v2Port
-    new GenericInternalRow(Array[Any](
-      if (v3App != null) v3App else v2App,
-      if (v3Dev != null) v3Dev else v2Dev,
-      // always in Int range: parseIntRangeOrSkip threw otherwise
-      if (port == null) null else Int.box(port.longValue.toInt),
-      if (v3Cnt != null) v3Cnt else v2Cnt,
-      if (v3Pay != null) v3Pay else v2Pay,
-      if (metaTime != null) metaTime else receivedAt,
-      if (umSeen) v3Gws else v2Gws))
+    val app = if (v3App != null) v3App else v2App
+    val dev = if (v3Dev != null) v3Dev else v2Dev
+    val portBoxed = // always in Int range: parseIntRangeOrSkip threw otherwise
+      if (port == null) null else Int.box(port.longValue.toInt)
+    val cnt = if (v3Cnt != null) v3Cnt else v2Cnt
+    val pay = if (v3Pay != null) v3Pay else v2Pay
+    val time = if (metaTime != null) metaTime else receivedAt
+    val gws = if (umSeen) v3Gws else v2Gws
+    if (fused) {
+      new GenericInternalRow(Array[Any](app, dev, portBoxed, cnt, pay, time,
+        if (gws == null) null else Int.box(gws.count),
+        if (gws == null || !gws.found || gws.nullScore) null
+        else Double.box(gws.score),
+        if (gws == null || !gws.found) null else gws.id))
+    } else {
+      new GenericInternalRow(Array[Any](app, dev, portBoxed, cnt, pay, time,
+        if (gws == null) null else new GenericArrayData(gws.buf.toArray)))
+    }
   }
 }

@@ -367,10 +367,13 @@ object CorpusFilter {
   def mixToTargetSql(idE: String, stratumE: String,
                      targets: Map[String, Double]): String = {
     val tM = targets.map { case (s, f) => s -> thresholdMillionths(f) }
+    // stratum keys are data values, not identifiers — escape quotes so a
+    // key like "it's" can't break or alter the oracle query
+    def q(s: String): String = s.replace("'", "''")
     val tgtValues = tM.toSeq.sortBy(_._1)
-      .map { case (s, t) => s"('$s', CAST($t AS BIGINT))" }.mkString(", ")
+      .map { case (s, t) => s"('${q(s)}', CAST($t AS BIGINT))" }.mkString(", ")
     val tCase = tM.foldRight("CAST(NULL AS BIGINT)") { case ((s, t), els) =>
-      s"CASE WHEN stratum = '$s' THEN $t ELSE $els END"
+      s"CASE WHEN stratum = '${q(s)}' THEN $t ELSE $els END"
     }
     val h = TextFunctions.hash32Sql(
       s"('mix:' || stratum || ':' || CAST(doc_id AS VARCHAR))")

@@ -76,6 +76,12 @@ object Decontaminate {
     // planning statistic (bounded: one aggregate row), same contract as
     // cosineNearDupPairsLshAuto's corpus count
     val nBench = base.where(col("is_bench")).count()
+    // Surface the branch: an exact-audit caller must be able to see
+    // when the gate routed to the probabilistic-recall path (ADVICE
+    // r11) — the oracle twin mirrors this gate with a hard error().
+    val branch = if (nBench <= maxBenchBroadcast) "exact" else "lsh"
+    Console.err.println(
+      s"[graft] embedOverlap gate: nBench=$nBench max=$maxBenchBroadcast -> $branch")
     if (nBench <= maxBenchBroadcast) embedOverlapExact(base, threshold)
     else embedOverlapLshFromBase(base, threshold)
   }
@@ -102,7 +108,9 @@ object Decontaminate {
 
   /** The above-broadcast path: SRP-banded cross-set candidate join.
     * Both sides are coded with the SAME plane set (the first p·bands
-    * corpus vectors — deterministic, the [[Similarity]] convention),
+    * TRAINING-side vectors by id — deterministic, the [[Similarity]]
+    * convention; bench vectors are excluded so the hash family is never
+    * derived from the benchmark set),
     * training and benchmark codes meet in a (band, bucket) equi-join,
     * candidate (train, bench) pairs are distinct'd and exact-verified
     * with codegen'd `vec_dot` — so hits are exact, only recall is
@@ -126,7 +134,10 @@ object Decontaminate {
                                       bucketCap: Int = 10000): DataFrame = {
     val nTrain = base.where(!col("is_bench")).count() // planning statistic
     val (p, bands) = Similarity.lshPairKnobs(nTrain, threshold, targetRecall)
-    val pl = base.where(col("id") < p.toLong * bands)
+    // planes come from the TRAINING side only (ADVICE r11): if bench ids
+    // occupied the low id range, drawing from the union would derive the
+    // hash family from the benchmark set itself
+    val pl = base.where(!col("is_bench") && col("id") < p.toLong * bands)
       .select((col("id") / p).cast("int").as("band"),
         pmod(col("id"), lit(p.toLong)).cast("int").as("p"),
         col("v").as("p_v"))
@@ -162,15 +173,27 @@ object Decontaminate {
       .select(col("id").as("vec_id"), col("n_hits"), col("max_cos"))
   }
 
-  /** DuckDB twin of [[embedOverlap]]. */
+  /** DuckDB twin of [[embedOverlap]]'s EXACT branch, with the engine's
+    * count gate mirrored as a hard `error()` (ADVICE r11): the engine
+    * silently routes to the LSH branch above `maxBenchBroadcast`, and
+    * an exact-only oracle would then diverge without a trace — so the
+    * oracle refuses loudly instead of lying quietly. `error()` sits in
+    * a lazily-evaluated CASE branch (verified against DuckDB), so an
+    * under-gate bench side never evaluates it. */
   def embedOverlapSql(idE: String, vecE: String, benchPred: String,
-                      threshold: Double): String =
+                      threshold: Double,
+                      maxBenchBroadcast: Long = 2000000L): String =
     s"""WITH base AS (SELECT $idE AS id, $vecE AS v, ($benchPred) AS is_bench,
                         ${Similarity.dotSql(vecE, vecE)} AS n2 FROM embeddings),
+        gate AS (SELECT CASE WHEN count(*) <= $maxBenchBroadcast THEN 1
+                   ELSE error('embedOverlap oracle is exact-only but bench > '
+                              || '$maxBenchBroadcast: engine takes LSH branch')
+                 END AS ok FROM base WHERE is_bench),
         b AS (SELECT v AS b_v, n2 AS b_n2 FROM base WHERE is_bench),
         s AS (SELECT t.id, ${Similarity.dotSql("t.v", "b.b_v")} /
                 sqrt(t.n2 * b.b_n2) AS cos
-              FROM base t CROSS JOIN b WHERE NOT t.is_bench)
+              FROM base t CROSS JOIN b
+              WHERE NOT t.is_bench AND (SELECT ok FROM gate) = 1)
         SELECT id AS vec_id, count(*) AS n_hits, round(max(cos), 4) AS max_cos
         FROM s WHERE cos >= $threshold GROUP BY 1"""
 
@@ -198,7 +221,8 @@ object Decontaminate {
         pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,
                       CAST(id % (SELECT p FROM kp) AS INT) AS px, v AS p_v
                FROM base
-               WHERE id < (SELECT p FROM kp) * (SELECT bands FROM kb)),
+               WHERE NOT is_bench
+                 AND id < (SELECT p FROM kp) * (SELECT bands FROM kb)),
         coded AS (SELECT c.id, c.is_bench, band,
                     CAST(sum(CASE WHEN ${Similarity.dotSql("c.v", "p_v")} >= 0
                              THEN (1::BIGINT << px) ELSE 0 END) AS BIGINT)

@@ -98,12 +98,15 @@ object TokenizerOps {
       array_join(TextFunctions.tokens(text), "  "), lit(" ")).as("s")).cache()
     cached += cur
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-    for (step <- 0 until k) {
+    var step = 0
+    var dry = false // empty winner ⇒ pairless corpus ⇒ no later round can win
+    while (step < k && !dry) {
       val w = cur.select(explode(pairsOf(col("s"))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
       while (cached.size > 1) cached.remove(0).unpersist() // cur is hot now
-      if (w.nonEmpty) { // a pairless corpus simply stops early
+      if (w.isEmpty) dry = true // stop, don't rescan an unchanged corpus
+      else {
         val pair = w(0).getString(0)
         merges += ((step, pair, w(0).getLong(1)))
         val Array(a, b) = pair.split(" ", 2) // tokens never contain ' '
@@ -111,6 +114,7 @@ object TokenizerOps {
           lit(s" $a  $b "), lit(s" ${a}_$b ")).as("s")).cache()
         cached += cur
       }
+      step += 1
     }
     cached.foreach(_.unpersist()) // result is a driver-built LocalRelation
     spark.createDataFrame(merges.toSeq).toDF("step", "pair", "n")

@@ -123,6 +123,10 @@ object GraftExtensions {
     (FunctionIdentifier("ttn_parse"),
       info("ttn_parse", "ttn_parse(envelope_json)"),
       (es: Seq[Expression]) => TtnEnvelopeParse(Cast(es.head, StringType))),
+    (FunctionIdentifier("ttn_parse_best"),
+      info("ttn_parse_best",
+        "ttn_parse_best(envelope_json) — best-gateway argmax fused in"),
+      (es: Seq[Expression]) => TtnEnvelopeParseBest(Cast(es.head, StringType))),
     (FunctionIdentifier("grubbs_agg"),
       info("grubbs_agg", "grubbs_agg(value, alpha, minN)"),
       // alpha/minN are per-query constants (foldable literals at call
@@ -156,6 +160,10 @@ object GraftExtensions {
     (FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(text)"),
       (es: Seq[Expression]) => RepetitionStats(Cast(es.head, StringType))),
+    (FunctionIdentifier("pii_scan"),
+      info("pii_scan",
+        "pii_scan(text) — struct<n_email,n_ipv4,n_phone,redacted>"),
+      (es: Seq[Expression]) => PiiScan(Cast(es.head, StringType))),
     (FunctionIdentifier("sorted_longs_agg"),
       info("sorted_longs_agg", "sorted_longs_agg(value)"),
       (es: Seq[Expression]) => SortedLongsAggregate(Cast(es.head, LongType))),

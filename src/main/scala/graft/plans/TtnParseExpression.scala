@@ -49,3 +49,40 @@ case class TtnEnvelopeParse(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused variant (r12, VERDICT r11 item 2): emits the best-gateway
+  * argmax (D5) and the gateway count directly from the parse —
+  * `struct<app_id, dev_id, port, counter, payload_b64, event_time,
+  * n_gateways, best_score, best_gtw_id>` — so the per-row gateway
+  * `array<struct>` is never materialized. The reduction is streamed per
+  * element inside [[graft.ingest.TtnFastJson.parseFused]] with EXACTLY
+  * [[BestGateway]]'s comparison (reference:
+  * MyDatacollector.py:1467-1470 — argmax of 10·snr + 0.2·rssi);
+  * parity with the unfused parse + size + best_gateway composition is
+  * differential-fuzzed in TtnFastJsonSpec. */
+case class TtnEnvelopeParseBest(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TtnFastJson.fusedOutType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ttn_parse_best"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ttn_parse_best expects a string column, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TtnFastJson.parseFused(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("env")
+    nullSafeCodeGen(ctx, ev, line => s"""
+       |InternalRow $out = graft.ingest.TtnFastJson.parseFused($line);
+       |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

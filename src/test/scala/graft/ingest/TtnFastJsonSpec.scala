@@ -242,6 +242,34 @@ class TtnFastJsonSpec extends AnyFunSuite {
     fx.unpersist()
   }
 
+  test("fused parseBest == unfused parse + size + best_gateway composition") {
+    import spark.implicits._
+    val df = spark.createDataset(lines(seed = 20260815L, nPerKind = 400)).toDF("line")
+      .repartition(8).cache()
+    val fused = TtnEnvelope.parseBest(df, col("line"))
+    // the composition parseBest replaces: unfused parse, then size()
+    // (null-safe — parseBest's n_gateways is null for a null array) and
+    // the best_gateway argmax + round, exactly as q76 consumed them
+    val unf = TtnEnvelope.parse(df, col("line"))
+      .withColumn("n_gateways",
+        when(col("gateways").isNull, lit(null)).otherwise(size(col("gateways"))))
+      .withColumn("best_score", round(col("best_score"), 2))
+      .drop("gateways", "payload")
+    val fusedCols = fused.drop("payload")
+    val cols = fusedCols.columns.toSeq
+    assert(cols.toSet == unf.columns.toSet)
+    val j = fusedCols.as("f").join(unf.as("u"), col("f.topic") === col("u.topic"))
+    val mismatchCond = cols.filter(_ != "topic")
+      .map(c => !(col(s"f.$c") <=> col(s"u.$c"))).reduce(_ || _)
+    val bad = j.where(mismatchCond)
+      .select(col("f.topic"), struct(cols.map(c => col(s"f.$c")): _*).as("fused"),
+        struct(cols.map(c => col(s"u.$c")): _*).as("unfused"))
+      .take(5)
+    assert(bad.isEmpty, s"fused vs unfused divergence:\n${bad.mkString("\n")}")
+    assert(j.count() == df.count(), "row loss in one of the parse paths")
+    df.unpersist()
+  }
+
   test("malformed lines null the whole envelope frame") {
     import spark.implicits._
     val df = spark.createDataset(Seq(
