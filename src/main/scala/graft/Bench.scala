@@ -31,6 +31,19 @@ object Bench {
       math.max(cpus.toLong, dirBytes(new java.io.File(sfDir)) / (4L << 20)))
     val initialParts =
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", autoInitialParts.toString)
+    // Scan-side split sizing (r12): the MakeScale corpora are ONE
+    // heavily-compressed file per table (events sf1 = 15.7 MB for 1 M
+    // rows), so the stock 128 MiB maxPartitionBytes put every fact scan
+    // in a single task — 1 core parsing while 31 idle (q76's whole
+    // residual). Size splits from the corpus volume instead: aim at
+    // ~4 tasks per core over the whole directory, floored at 1 MiB
+    // (= MakeScale's row-group size — smaller splits can't win: a split
+    // without a row-group midpoint does no work) and capped at the
+    // 128 MiB default for big corpora.
+    val autoMaxPart = math.min(128L << 20,
+      math.max(1L << 20, dirBytes(new java.io.File(sfDir)) / (4 * cpus.toLong)))
+    val maxPartBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", autoMaxPart.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -59,6 +72,7 @@ object Bench {
       // a query pays at the next decade)
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+      .config("spark.sql.files.maxPartitionBytes", maxPartBytes)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one optimizer config for every query (q54 relies on the rule;

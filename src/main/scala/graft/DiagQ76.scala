@@ -37,6 +37,16 @@ object DiagQ76 {
         graft.ingest.TtnEnvelope.envelopeSchema).as("e")).select(col("e.app_id")))
     time("C render+parse")(graft.ingest.TtnEnvelope.parse(lines, col("line")))
     time("D full q76")(q(spark, sfDir))
+    // r12 legs over PERSISTED lines (the Bench timing shape): isolates
+    // the operator pipeline from the render, and the parse from the
+    // downstream timestamp/md5/unbase64 stages.
+    val path = s"/tmp/graft_diag_q76_${math.abs(sfDir.hashCode)}"
+    lines.write.mode("overwrite").parquet(path)
+    val persisted = spark.read.parquet(path)
+    time("L0 read lines only")(persisted)
+    time("L1 read+parse (unfused)")(graft.ingest.TtnEnvelope.parse(persisted, col("line")))
+    time("L2 read+parseBest (fused)")(graft.ingest.TtnEnvelope.parseBest(persisted, col("line")))
+    time("L3 read+full pipeline")(SparkEntry.q76Pipeline(persisted))
     spark.stop()
   }
 

@@ -62,7 +62,19 @@ object MakeScale {
       * file, not a Spark directory). */
     def writeOne(df: DataFrame, name: String): Unit = {
       val stage = s"$dst/.stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      // Small row groups (1 MiB vs the 128 MiB default) so the ONE file
+      // is still scan-parallel: both Spark (splits pick row groups by
+      // midpoint) and DuckDB parallelize a parquet file BY ROW GROUP —
+      // r12 found every fact table was a single-row-group file, which
+      // serialized every sf1/sf10 scan onto one core in both engines
+      // (q76's "6.8 s parse" was 2 of 32 cores busy). At production
+      // scale input arrives as thousands of files/groups; this keeps
+      // the single-file DuckDB-parity contract while restoring that
+      // shape. Readers must size spark.sql.files.maxPartitionBytes to
+      // match (Bench/Verify derive it from corpus volume).
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1L << 20).toString)
+        .parquet(stage)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
