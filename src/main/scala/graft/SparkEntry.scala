@@ -1454,6 +1454,21 @@ object SparkEntry {
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, concat(lit(" call +31-555-"),
           (col("doc_id") % 10000).cast("string"), lit(" today")))
+          .otherwise(lit("")),
+        // r12 (VERDICT r11 item 8): one fixture branch per scanner
+        // shape the %3/%5/%7 trio misses — a local dashed phone (the
+        // alternation's no-plus branch), a parenthesized area code, a
+        // dotted digit run that is a PHONE not an IP (the ADVICE r11
+        // overlap class: 3 dotted groups vs ipv4's 4), and a bare '@@'
+        // that must NOT count as an email.
+        when(col("doc_id") % 11 === 0, concat(lit(" fax 555-12"),
+          (col("doc_id") % 100).cast("string"), lit("-4567 now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" desk (020) 1234 "),
+          (col("doc_id") % 9000 + 1000).cast("string"), lit(" ext")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, concat(lit(" build 20.300."),
+          (col("doc_id") % 9000 + 1000).cast("string"), lit(" and @@ ok")))
           .otherwise(lit("")))
       // r12: one native pii_scan (linear byte scanners, PiiScanSpec-pinned
       // to the regex chain) replaces six backtracking-regex passes; the
@@ -3442,6 +3457,15 @@ object SparkEntry {
              ELSE '' END) ||
             (CASE WHEN doc_id % 7 = 0
              THEN ' call +31-555-' || CAST(doc_id % 10000 AS VARCHAR) || ' today'
+             ELSE '' END) ||
+            (CASE WHEN doc_id % 11 = 0
+             THEN ' fax 555-12' || CAST(doc_id % 100 AS VARCHAR) || '-4567 now'
+             ELSE '' END) ||
+            (CASE WHEN doc_id % 13 = 0
+             THEN ' desk (020) 1234 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' ext'
+             ELSE '' END) ||
+            (CASE WHEN doc_id % 17 = 0
+             THEN ' build 20.300.' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' and @@ ok'
              ELSE '' END))"""
       val cnts = PiiFunctions.countsSql(withPii)
         .map { case (alias, e) => s"$e AS $alias" }.mkString(", ")
