@@ -50,6 +50,9 @@ object ScaleProbe {
     if (args.lift(2).contains("hygiene")) {
       probeHygiene(spark, sfDir, mults); return
     }
+    if (args.lift(2).contains("q40")) {
+      probeQ40(spark, sfDir, mults); return
+    }
 
     val base = Tables.events(spark, sfDir)
     // offsets derived from the data so replicas stay disjoint at ANY sf
@@ -512,26 +515,30 @@ object ScaleProbe {
 
     val mixTargets =
       Seq("en", "de", "fr", "es", "zh").map(_ -> 0.2).toMap
+    // op subset for the big-decade legs (r12: the 5M-doc dsir run need
+    // not pay for a 5M-doc decontaminate too): comma list, default all
+    val ops = sys.env.getOrElse("SPARK_GRAFT_HYGIENE_OPS",
+      "decon,pack,mix,bpe,dsir").split(",").map(_.trim).toSet
     dirs.foreach { case (m, dir) =>
       var flagged = 0L
-      val tDecon = inOwnSession(dir) { d =>
+      val tDecon = if (!ops("decon")) -1.0 else inOwnSession(dir) { d =>
         flagged = operators.Decontaminate.overlap(d, col("doc_id"),
           col("text"), col("source") === "src19", n = 4).count()
       }
-      val tPack = inOwnSession(dir) { d =>
+      val tPack = if (!ops("pack")) -1.0 else inOwnSession(dir) { d =>
         operators.SeqPack.pack(d, col("doc_id"), col("text"), 256, 8)
           .write.mode("overwrite").format("noop").save()
       }
-      val tMix = inOwnSession(dir) { d =>
+      val tMix = if (!ops("mix")) -1.0 else inOwnSession(dir) { d =>
         operators.CorpusFilter.mixToTarget(d, col("doc_id"), col("lang"),
             mixTargets)
           .write.mode("overwrite").format("noop").save()
       }
-      val tBpe = inOwnSession(dir) { d =>
+      val tBpe = if (!ops("bpe")) -1.0 else inOwnSession(dir) { d =>
         // result is a k-row LocalRelation; the work is the k rounds
         operators.TokenizerOps.trainMerges(d, col("text"), k = 4)
       }
-      val tDsir = inOwnSession(dir) { d =>
+      val tDsir = if (!ops("dsir")) -1.0 else inOwnSession(dir) { d =>
         operators.CorpusFilter.dsirWeights(d, col("doc_id"), col("text"),
             col("source") === "src19", buckets = 256, alpha = 0.1)
           .write.mode("overwrite").format("noop").save()
@@ -584,6 +591,65 @@ object ScaleProbe {
           .write.mode("overwrite").format("noop").save()
       }
       println(s"""{"mult":$m,"docs":${counts(m)},"jaccard_df_cap_s":$tJac,"jaccard_pairs":$pairs,"minhash_lsh_s":$tLsh,"simhash_s":$tSim,"dup_clusters_s":$tCc}""")
+    }
+  }
+
+  /** q40/A7 per-GROUP growth probe (VERDICT r11 item 4): exact
+    * `percentile` is a TypedImperativeAggregate that buffers every group
+    * value, so at FIXED key cardinality the per-group buffer grows
+    * linearly with data — the one q40 shape the disjoint-key replication
+    * above cannot exercise. Replicates events n× KEEPING user_id (event
+    * ids offset so rows stay distinct), times the full q40 pipeline
+    * (exact percentile → bounds join → trim aggregate) and the
+    * fixed-size-sketch alternative (`approx_percentile`, accuracy 1e4 —
+    * the documented 100-TB fallback when a group outgrows task memory:
+    * its buffer is O(accuracy), not O(rows)). Reports rows/group so the
+    * buffer size is explicit. The reference's own A7 is a BOUNDED
+    * sliding buffer (RPi/MyThreading.py:122-175 keeps last-N per
+    * sensor), so the unbounded exact form is already stricter than the
+    * reference semantics it models.
+    * `runMain graft.ScaleProbe <sfDir> 1,10,100 q40` */
+  private def probeQ40(spark: SparkSession, sfDir: String,
+                       mults: Array[Int]): Unit = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val b = base.agg(max(col("event_id")), countDistinct(col("user_id"))).head()
+    val (idStride, nKeys) = (b.getLong(0) + 1, b.getLong(1))
+    def replicate(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("event_id") + lit(i * idStride)).as("event_id"),
+          col("user_id"), col("value"))
+      }.reduce(_ unionByName _)
+    def q40(e: DataFrame, approx: Boolean): DataFrame = {
+      val q =
+        if (approx)
+          e.groupBy(col("user_id").as("__k")).agg(
+            expr("approx_percentile(value, 0.25, 10000)").as("q1"),
+            expr("approx_percentile(value, 0.75, 10000)").as("q3"))
+        else
+          e.groupBy(col("user_id").as("__k")).agg(
+            expr("percentile(value, 0.25)").as("q1"),
+            expr("percentile(value, 0.75)").as("q3"))
+      e.join(q, col("user_id") === col("__k"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5 - 1e-6)
+        .withColumn("hi", col("q1") + (col("q3") - col("q1")) * 1.5 + 1e-6)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("value").between(col("lo"), col("hi")),
+          col("value"))).as("trimmed_sum"),
+          count(when(col("value").between(col("lo"), col("hi")), 1)).as("n_kept"),
+          count(lit(1)).as("n_total"))
+    }
+    mults.foreach { m =>
+      val dir = s"/tmp/graft_scale_q40_${m}x"
+      replicate(m).write.mode("overwrite").parquet(dir)
+      val rows = m.toLong * idStride
+      val tExact = inOwnSession(dir) { d =>
+        q40(d, approx = false).write.mode("overwrite").format("noop").save()
+      }
+      val tApprox = inOwnSession(dir) { d =>
+        q40(d, approx = true).write.mode("overwrite").format("noop").save()
+      }
+      println(s"""{"mult":$m,"rows":$rows,"keys":$nKeys,"rows_per_group":${rows / math.max(1, nKeys)},"exact_s":$tExact,"approx_sketch_s":$tApprox}""")
     }
   }
 }
