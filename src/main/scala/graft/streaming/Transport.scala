@@ -48,6 +48,16 @@ object Transport {
   /** Live line stream over TCP — localhost-only in tests. */
   final case class Socket(host: String, port: Int) extends Config
 
+  /** Live MQTT subscription (r12, VERDICT r11 item 5): a REAL MQTT
+    * 3.1.1 SUBSCRIBE against `brokerHost:brokerPort`, decoded by the
+    * zero-dep [[Mqtt.MqttSubscriberBridge]] and fed into the socket
+    * transport as `topic payload` lines — the reference's on_message →
+    * import handoff (MyMQTTclient.py:560-604). `lines()` returns with
+    * the subscription GRANTED (SUBACK seen), so telegrams published
+    * after construction cannot be missed. */
+  final case class Mqtt(brokerHost: String, brokerPort: Int,
+                        topicFilter: String) extends Config
+
   /** File replay (`port=None` mode): a directory of text telegram dumps,
     * one JSON telegram per line. `maxFilesPerTrigger=1` keeps micro-batch
     * boundaries realistic (one dump file per batch). */
@@ -75,6 +85,15 @@ object Transport {
         .option("host", host)
         .option("port", port)
         .load() // already (value: STRING)
+    case cfg @ Mqtt(host, port, filter) =>
+      // one live bridge per (broker, filter) — re-asking for the same
+      // subscription reuses it (multiple streams may read one feed)
+      val bridge = mqttBridges.computeIfAbsent(cfg, _ => {
+        val b = new graft.streaming.Mqtt.MqttSubscriberBridge(host, port, filter)
+        b.awaitSubscribed()
+        b
+      })
+      lines(spark, Socket(bridge.lineHost, bridge.linePort))
     case FileReplay(dir) =>
       spark.readStream
         .option("maxFilesPerTrigger", "1")
@@ -85,5 +104,14 @@ object Transport {
   def lines(spark: SparkSession, configs: Seq[Config]): DataFrame = {
     require(configs.nonEmpty, "at least one transport config")
     configs.map(lines(spark, _)).reduce(_.unionByName(_))
+  }
+
+  private val mqttBridges =
+    new java.util.concurrent.ConcurrentHashMap[Mqtt, graft.streaming.Mqtt.MqttSubscriberBridge]()
+
+  /** Tears down the live bridge behind an [[Mqtt]] config (tests). */
+  def closeMqtt(cfg: Mqtt): Unit = {
+    val b = mqttBridges.remove(cfg)
+    if (b != null) b.close()
   }
 }
