@@ -154,7 +154,13 @@ object SparkEntry {
         .withColumn("cal", Calibration.taylorCols(col("l_extendedprice"),
           col("p_retailprice") * 0.01, lit(1.05)))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("cal")), 2).as("cal_total"), count(lit(1)).as("n"))
+        // decimal-typed sum (the q94 oracle pattern): these totals are
+        // ~1e10 with 2-decimal rounding, where double summation ORDER
+        // decides the last digit — r12's multi-split scans changed the
+        // partial-sum order and flipped two brands at the .005 boundary.
+        // Exact decimal accumulation is order-free in both engines.
+        .agg(round(sum(col("cal").cast("decimal(18,6)")).cast("double"), 2)
+          .as("cal_total"), count(lit(1)).as("n"))
     }),
 
     // Q7 — as-of alignment of two series to a common grid (J3).
@@ -556,7 +562,9 @@ object SparkEntry {
         .withColumn("f", lit(1.0) + (col("y") % 3) * 0.05)
       o.join(broadcast(factors), "y")
         .groupBy(col("y"))
-        .agg(round(sum(col("o_totalprice") * col("f")), 2).as("norm_revenue"),
+        // decimal-typed sum — same order-sensitivity fix as q06
+        .agg(round(sum((col("o_totalprice") * col("f"))
+            .cast("decimal(18,6)")).cast("double"), 2).as("norm_revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -1721,7 +1729,8 @@ object SparkEntry {
 
     "q06_broadcast_calibrate" ->
       """SELECT p_brand,
-                round(sum(p_retailprice*0.01 + 1.05*l_extendedprice),2) AS cal_total,
+                round(CAST(sum(CAST(p_retailprice*0.01 + 1.05*l_extendedprice
+                  AS DECIMAL(18,6))) AS DOUBLE),2) AS cal_total,
                 count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
@@ -2113,7 +2122,8 @@ object SparkEntry {
     "q44_year_norm" ->
       """WITH o AS (SELECT year(o_orderdate) AS y, o_totalprice FROM orders),
           f AS (SELECT DISTINCT y, 1.0 + (y % 3) * 0.05 AS f FROM o)
-          SELECT y, round(sum(o_totalprice * f),2) AS norm_revenue,
+          SELECT y, round(CAST(sum(CAST(o_totalprice * f AS DECIMAL(18,6)))
+                   AS DOUBLE),2) AS norm_revenue,
                  count(*) AS n
           FROM o JOIN f USING (y) GROUP BY y""",
 
