@@ -192,10 +192,59 @@ object Multimodal {
       .mapPartitions(_.map(i => MediaRecord(i, "audio/wav", syntheticWav(i))))
   }
 
-  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (JDK built-in —
-    * no external codec deps) parses the container and yields the PCM
-    * format + frames; sample count, duration, RMS and peak come from the
-    * decoded samples, not from metadata. The squared-sample sum is kept
+  /** One parsed PCM payload: (sampleRate, dataOffset, dataLen). */
+  private type PcmSlice = (Int, Int, Int)
+
+  /** Direct RIFF/WAVE walker for the 16-bit mono PCM layout (r12): the
+    * JDK's `AudioSystem`/`WaveFileReader` header parse costs ~50 µs per
+    * call AND is serialized JVM-globally (measured: 50 k headers 3.1 s
+    * on 1 thread, 4.1 s on 32 — negative scaling; DiagQ68c), which on a
+    * 32-core executor turns a trivial decode into the partition
+    * bottleneck. The RIFF container is a public, trivial format (chunk
+    * walk: "RIFF"+size+"WAVE", then "fmt "/"data" chunks), so the hot
+    * path parses it directly — same zero-dep-codec stance as the XLSX/
+    * HTML readers — and anything that is not strict 16-bit mono PCM
+    * falls back to the JDK SPI below. Returns None for any shape the
+    * walker does not PROVABLY handle. */
+  private def parseWavPcm16Mono(b: Array[Byte]): Option[PcmSlice] = {
+    @inline def u16(o: Int) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8))
+    @inline def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    @inline def tag(o: Int, t: String): Boolean =
+      b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
+        b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var rate = -1
+    var ok = false
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (data.isEmpty || !ok)) {
+      val len = u32(off + 4)
+      if (len > Int.MaxValue || off + 8 + len > b.length) return None
+      val l = len.toInt
+      if (tag(off, "fmt ")) {
+        if (l < 16) return None
+        val codec = u16(off + 8); val ch = u16(off + 10)
+        val bits = u16(off + 22)
+        rate = u32(off + 12).toInt
+        ok = codec == 1 && ch == 1 && bits == 16 && rate > 0
+        if (!ok) return None // non-PCM16-mono: let the SPI decide
+      } else if (tag(off, "data")) {
+        data = Some((off + 8, l))
+      }
+      off += 8 + l + (l & 1) // chunks are word-aligned (RIFF padding)
+    }
+    if (ok) data.map { case (o, l) => (rate, o, l) } else None
+  }
+
+  /** REAL audio decode; sample count, duration, RMS and peak come from
+    * the decoded samples, not from metadata. The hot path is the direct
+    * [[parseWavPcm16Mono]] container walk; any other container/layout
+    * goes through the JDK's public `AudioFileReader` SPI (loaded once
+    * per partition — `AudioSystem`'s per-call registry lookup is
+    * synchronized). Both paths produce identical rows on WAV input
+    * (spec-pinned in MultimodalSpec). The squared-sample sum is kept
     * as an exact integer (16-bit samples: Σs² ≤ n·2³⁰, no rounding) and
     * normalized only at the end, so the oracle's integer arithmetic lands
     * on the identical double. Undecodable blobs surface as an error row
@@ -204,35 +253,69 @@ object Multimodal {
   def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // Resolve the JDK's AudioFileReader SPI providers ONCE per
+      // partition (r12): `AudioSystem.getAudioInputStream` routes every
+      // call through a SYNCHRONIZED service-registry lookup, so 32
+      // parallel decode tasks serialized on one JVM-global lock — the
+      // sf1 bench got SLOWER with more splits (2.4 s @ 1 task → 4.7 s
+      // @ 32). This is precisely the per-batch codec init this
+      // mapPartitions exists for; the per-row path below is the same
+      // public SPI AudioSystem itself consults.
+      val readers = {
+        val l = java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileReader],
+          Thread.currentThread().getContextClassLoader)
+        val b = scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader]()
+        l.forEach(r => b += r)
+        b.toSeq
+      }
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        val s = new java.io.ByteArrayInputStream(bytes)
+        readers.iterator.flatMap { r =>
+          s.reset()
+          try Some(r.getAudioInputStream(s))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.nextOption().getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "no SPI reader accepts this container"))
+      }
+      def pcmStats(id: Long, rate: Int, buf: Array[Byte], off: Int,
+                   len: Int, bigEndian: Boolean): DecodedAudio = {
+        val bb = java.nio.ByteBuffer.wrap(buf).order(
+          if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = len / 2
+        var sumSq = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = bb.getShort(off + i * 2).toLong
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        DecodedAudio(id, rate, n,
+          n.toDouble / rate,
+          if (n == 0) 0.0
+          else math.sqrt(sumSq.toDouble / (n.toDouble * 32768.0 * 32768.0)),
+          peak.toDouble / 32768.0)
+      }
       it.map { m =>
         try {
-          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.content))
-          try {
-            val fmt = ain.getFormat
-            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-              s"unsupported PCM layout: $fmt")
-            val bytes = ain.readAllBytes()
-            val bb = java.nio.ByteBuffer.wrap(bytes).order(
-              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-              else java.nio.ByteOrder.LITTLE_ENDIAN)
-            val n = bytes.length / 2
-            var sumSq = 0L
-            var peak = 0L
-            var i = 0
-            while (i < n) {
-              val s = bb.getShort(i * 2).toLong
-              sumSq += s * s
-              if (math.abs(s) > peak) peak = math.abs(s)
-              i += 1
-            }
-            val rate = fmt.getSampleRate.toInt
-            DecodedAudio(m.media_id, rate, n,
-              n.toDouble / rate,
-              if (n == 0) 0.0
-              else math.sqrt(sumSq.toDouble / (n.toDouble * 32768.0 * 32768.0)),
-              peak.toDouble / 32768.0)
-          } finally ain.close()
+          parseWavPcm16Mono(m.content) match {
+            case Some((rate, off, len)) => // hot path: zero-copy slice
+              pcmStats(m.media_id, rate, m.content, off, len, bigEndian = false)
+            case None => // anything else: the JDK SPI decides
+              val ain = open(m.content)
+              try {
+                val fmt = ain.getFormat
+                require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                  s"unsupported PCM layout: $fmt")
+                val bytes = ain.readAllBytes()
+                pcmStats(m.media_id, fmt.getSampleRate.toInt, bytes, 0,
+                  bytes.length, fmt.isBigEndian)
+              } finally ain.close()
+          }
         } catch { case _: Exception =>
           DecodedAudio(m.media_id, -1, 0, 0.0, Double.NaN, Double.NaN)
         }
