@@ -387,14 +387,24 @@ object ScaleProbe {
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // dead-shuffle GC (see the main session's note): the 2.2M-vector
+        // leg's min-of-2 runs spill tens of GB each — without periodic
+        // GC run 1's dead files survive into run 2 and the disk dies
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .getOrCreate()
       graft.plans.GraftExtensions.register(s)
       s.range(1000000).selectExpr("sum(id % 7)").collect()
       val d = s.read.parquet(dir)
       val nVec = d.count()
       val (p, bands) = operators.Similarity.lshPairKnobs(nVec, 0.9)
+      // SPARK_GRAFT_SEM_ONLY=1 skips the LSH-pair legs (r12): the
+      // 2.2 M-vector LSH candidate shuffle spills past this single
+      // box's free disk (measured twice, ~75 GB); semDedup's pair work
+      // is cell-bounded and streams, so the q113 decade row can still
+      // be earned standalone.
+      val semOnly = sys.env.get("SPARK_GRAFT_SEM_ONLY").contains("1")
       var pairs = 0L
-      val best = (1 to 2).map { i =>
+      val best = if (semOnly) -1.0 else (1 to 2).map { i =>
         if (i > 1) { System.gc(); Thread.sleep(2000) }
         val t0 = System.nanoTime()
         pairs = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
@@ -420,12 +430,15 @@ object ScaleProbe {
             operators.Similarity.norm2(col("tv"))) >= 0.9)
         .select(col("d1"), col("d2"))
       val nPlanted = plantedPairs.count()
-      val hit = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
-          col("v"), 0.9, p, bands)
-        .join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
-      val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
-      assert(recall >= 0.85,
-        s"planted-pair recall $recall below 0.85 at mult=$m ($hit/$nPlanted)")
+      val recall = if (semOnly) -1.0 else {
+        val hit = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
+            col("v"), 0.9, p, bands)
+          .join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
+        val r = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
+        assert(r >= 0.85,
+          s"planted-pair recall $r below 0.85 at mult=$m ($hit/$nPlanted)")
+        r
+      }
       // SemDeDup on the same corpus: time + twin-drop recall (a planted
       // twin above threshold whose source shares its cell MUST be
       // dropped — cell-boundary misses are the operator's documented
@@ -440,7 +453,7 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
       val cells = operators.Similarity.ivfAssign(d, col("id"), col("v"),
-          math.max(8, math.ceil(nVec / 256.0).toInt))
+          operators.Dedup.semDedupK(nVec))
         .select(col("id"), col("cell"))
       val eligible = plantedPairs
         .join(cells.select(col("id").as("d1"), col("cell").as("c1")), Seq("d1"))
@@ -470,6 +483,7 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     s.range(1000000).selectExpr("sum(id % 7)").collect() // codegen warmup
     val d = s.read.parquet(dir)
@@ -639,9 +653,15 @@ object ScaleProbe {
           count(when(col("value").between(col("lo"), col("hi")), 1)).as("n_kept"),
           count(lit(1)).as("n_total"))
     }
-    mults.foreach { m =>
+    // write all corpora BEFORE the timed own-session legs (inOwnSession
+    // stops the active session — the probeHygiene staging pattern)
+    val dirs = mults.map { m =>
       val dir = s"/tmp/graft_scale_q40_${m}x"
       replicate(m).write.mode("overwrite").parquet(dir)
+      (m, dir)
+    }
+    spark.stop()
+    dirs.foreach { case (m, dir) =>
       val rows = m.toLong * idStride
       val tExact = inOwnSession(dir) { d =>
         q40(d, approx = false).write.mode("overwrite").format("noop").save()

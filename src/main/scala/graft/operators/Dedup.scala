@@ -523,10 +523,14 @@ object Dedup {
     * cluster scoping is what makes semantic dedup tractable at corpus
     * scale (within-cell pair work is Σ|cell|², bounded by the cell
     * size, never n²). Cells come from [[Similarity.ivfAssign]] (first-K
-    * deterministic centroids, the q56 contract); K auto-sizes to the
-    * corpus (`max(8, ceil(n / targetCell))`) so cells stay ~targetCell
-    * wide at ANY corpus size — a fixed K is the same silent quadratic
-    * the LSH knobs guard against.
+    * deterministic centroids, the q56 contract); K auto-sizes to
+    * `max(8, ceil(√n))` (r12): with K cells the assignment costs n·K
+    * dots and the within-cell pair stage ≈ n²/K dots, so K = √n
+    * equalizes both legs at n^1.5 — the r11 n/targetCell rule pinned
+    * the PAIR leg linear but let the ASSIGNMENT grow n²/targetCell,
+    * which the 220 k-vector probe caught (274.9 s; 14.3 s after this
+    * re-size + the map-only assign). A fixed K is the same silent
+    * quadratic the LSH knobs guard against.
     *
     * Keep rule (deterministic, RNG-free): a vector is dropped iff some
     * SAME-CELL neighbor with a smaller id has cosine ≥ `threshold` —
@@ -538,10 +542,12 @@ object Dedup {
     * broadcast-centroid argmin, ONE shuffle on cell for the self-join,
     * an id-keyed distinct of the drop set, and a left-anti-style flag
     * join. */
+  def semDedupK(n: Long): Int = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def semDedup(emb: DataFrame, id: Column, vec: Column,
-               threshold: Double, targetCell: Int = 256): DataFrame = {
+               threshold: Double): DataFrame = {
     val n = emb.count()
-    val k = math.max(8, math.ceil(n.toDouble / targetCell).toInt)
+    val k = semDedupK(n)
     val cells = Similarity.ivfAssign(emb, id, vec, k)
     val anchors = cells.select(col("cell"), col("id").as("a_id"),
       col("v").as("a_v"), col("n2").as("a_n2"))
@@ -560,12 +566,11 @@ object Dedup {
     * and (s, c_id) argmin tie-break as the q56 oracle, same smaller-id
     * anchor rule. */
   def semDedupSql(idE: String, vecE: String, threshold: Double,
-                  targetCell: Int = 256,
                   sourceSql: String = "SELECT * FROM embeddings"): String =
     s"""WITH base AS (SELECT $idE AS id, $vecE AS v,
                         ${Similarity.dotSql(vecE, vecE)} AS n2
                       FROM ($sourceSql) src),
-        kk AS (SELECT GREATEST(8, CAST(ceil(count(*) / $targetCell.0)
+        kk AS (SELECT GREATEST(8, CAST(ceil(sqrt(count(*)))
                  AS INT)) AS k FROM base),
         c AS (SELECT id AS c_id, v AS c_v, n2 AS cn2 FROM base
               WHERE id < (SELECT k FROM kk)),

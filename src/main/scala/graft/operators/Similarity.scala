@@ -225,16 +225,30 @@ object Similarity {
                 kCentroids: Int): DataFrame = {
     ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
+    // Bounded collect: K centroid rows by contract (the first-K
+    // stand-in; a trained IVF collects the same K×d matrix per round).
+    // r12: the previous `base.join(broadcast(cents))` n×K fan-out
+    // materialized both vectors on every joined row before the argmin
+    // aggregate — 274.9 s at 220 k vectors × 860 cells (DiagSem). The
+    // assignment is now ONE map-only projection: the codegen'd
+    // `nearest_centroid` argmin loops the K×d matrix per row (same
+    // (s, c_id) lexicographic minimum, bit-equal dots), zero shuffle.
     val cents = base.where(col("id") < kCentroids)
-      .select(col("id").as("c_id"), col("v").as("c_v"), col("n2").as("cn2"))
-    val assign = base.join(broadcast(cents))
-      .groupBy(col("id"))
-      .agg(
-        min(struct((col("cn2") - lit(2.0) * dot(col("v"), col("c_v"))).as("s"),
-          col("c_id").as("c"))).as("m"))
-      .select(col("id"), col("m.c").as("cell"))
-    base.join(assign, Seq("id"))
-      .select(col("id"), col("v"), col("n2"), col("cell"))
+      .select(col("id"), col("v"), col("n2")).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (r.getLong(0), v, r.getDouble(2))
+      }.sortBy(_._1)
+    if (cents.isEmpty) // old inner-join form yielded zero rows
+      return base.withColumn("cell", lit(null).cast("long")).where(lit(false))
+    base.select(col("id"), col("v"), col("n2"),
+      call_function("nearest_centroid", col("v"),
+        typedLit(cents.map(_._1).toSeq),
+        typedLit(cents.map(_._3).toSeq),
+        typedLit(cents.map(_._2.toSeq).toSeq)).as("cell"))
   }
 
   /** IVF ANN (nprobe = 1): exact cosine top-k within the query's own

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the geohash codec (SURVEY §2.9: the
@@ -117,6 +117,25 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<float|double>, array<float|double>)"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(vec, cids, cn2s, cents) — map-only IVF argmin cell"),
+      // the centroid matrix arrives as foldable literals (typedLit) and
+      // folds into expression state at resolution — same contract as
+      // grubbs_agg's parameters
+      (es: Seq[Expression]) => {
+        Seq(("cids", 1), ("cn2s", 2), ("cents", 3)).foreach { case (nm, i) =>
+          requireFoldable("nearest_centroid", nm, es(i))
+        }
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val cids = es(1).eval().asInstanceOf[ArrayData].toLongArray()
+        val cn2s = Cast(es(2), ArrayType(DoubleType))
+          .eval().asInstanceOf[ArrayData].toDoubleArray()
+        val cents = es(3).eval().asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        NearestCentroid(Cast(es(0), ArrayType(DoubleType)), cids, cn2s, cents)
+      }),
     (FunctionIdentifier("best_gateway"),
       info("best_gateway", "best_gateway(array<struct<gtw_id,rssi,snr>>)"),
       (es: Seq[Expression]) => BestGateway(es.head)),

@@ -85,3 +85,94 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Map-only IVF cell assignment (r12): `nearest_centroid(v)` with the
+  * K-centroid matrix held as expression state (one broadcast-sized
+  * reference object per task, not one row per (vector, centroid)).
+  *
+  * Replaces [[graft.operators.Similarity.ivfAssign]]'s
+  * `base.join(broadcast(cents))` fan-out: that shape materializes BOTH
+  * 64-dim vectors on every one of the n×K joined rows before the argmin
+  * aggregate — ~113 GB of row traffic at 220 k vectors × 860 cells,
+  * measured 274.9 s for the q113 semDedup probe leg (DiagSem r12). Here
+  * the argmin runs as a tight compiled loop inside one projection: n
+  * rows, K·d multiply-adds each, zero shuffle, zero fan-out.
+  *
+  * Bit-exact contract with the join form it replaces:
+  * `min(struct(cn2 − 2·v·c AS s, c_id))` — per-centroid dot accumulated
+  * left-to-right in double ([[DotProduct]]'s IEEE sequence), lexicographic
+  * (s, c_id) minimum with s ordered nulls-first (a null element in `v`
+  * nulls the dot, and the old struct-min sorted null s before every
+  * real s). Null or missing `v` → null cell. Empty centroid set →
+  * null (callers guard K ≥ 8 by contract).
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+                           cn2s: Array[Double], cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<double> (cast at the call site), " +
+        s"got ${t.catalogString}")
+  }
+
+  /** The argmin loop — shared by eval and codegen (the generated code
+    * makes one virtual call per row; the loop body is JIT-compiled). */
+  def assign(v: ArrayData): java.lang.Long = {
+    if (cids.length == 0) return null
+    var found = false
+    var bestNull = false
+    var bestS = 0.0
+    var bestId = 0L
+    var j = 0
+    while (j < cids.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var sNull = false
+      var i = 0
+      while (i < n && !sNull) {
+        if (v.isNullAt(i)) sNull = true
+        else { acc += v.getDouble(i) * c(i); i += 1 }
+      }
+      val s = cn2s(j) - 2.0 * acc
+      val wins =
+        if (!found) true
+        else {
+          val cmp =
+            if (sNull && bestNull) 0
+            else if (sNull) -1 // nulls-first: null s beats any real s
+            else if (bestNull) 1
+            else java.lang.Double.compare(s, bestS)
+          if (cmp != 0) cmp < 0 else cids(j) < bestId
+        }
+      if (wins) { found = true; bestNull = sNull; bestS = s; bestId = cids(j) }
+      j += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = assign(input.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    val cell = ctx.freshName("cell")
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |java.lang.Long $cell = $ref.assign($v);
+       |if ($cell == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $cell.longValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
