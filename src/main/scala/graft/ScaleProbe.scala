@@ -404,11 +404,20 @@ object ScaleProbe {
       // be earned standalone.
       val semOnly = sys.env.get("SPARK_GRAFT_SEM_ONLY").contains("1")
       var pairs = 0L
+      // the LAST run's result is persisted (a ~true-pair-count frame,
+      // tiny) so the recall check below reuses it instead of a THIRD
+      // full pipeline execution — at the 2.2 M leg each execution's
+      // shuffle files are tens of GB and dead files from run k stack
+      // onto run k+1 until the periodic GC catches up (r13)
+      var got: org.apache.spark.sql.DataFrame = null
       val best = if (semOnly) -1.0 else (1 to 2).map { i =>
         if (i > 1) { System.gc(); Thread.sleep(2000) }
+        if (got != null) { got.unpersist(true); () }
         val t0 = System.nanoTime()
-        pairs = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
-          col("v"), 0.9, p, bands).count()
+        got = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
+            col("v"), 0.9, p, bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs = got.count()
         (System.nanoTime() - t0) / 1e9
       }.min
       // Planted-pair recall (untimed): the found pairs must contain the
@@ -431,9 +440,8 @@ object ScaleProbe {
         .select(col("d1"), col("d2"))
       val nPlanted = plantedPairs.count()
       val recall = if (semOnly) -1.0 else {
-        val hit = operators.Similarity.cosineNearDupPairsLsh(d, col("id"),
-            col("v"), 0.9, p, bands)
-          .join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
+        val hit = got.join(plantedPairs, Seq("d1", "d2"), "left_semi").count()
+        got.unpersist(true)
         val r = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
         assert(r >= 0.85,
           s"planted-pair recall $r below 0.85 at mult=$m ($hit/$nPlanted)")
@@ -627,8 +635,12 @@ object ScaleProbe {
                        mults: Array[Int]): Unit = {
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
-    val b = base.agg(max(col("event_id")), countDistinct(col("user_id"))).head()
-    val (idStride, nKeys) = (b.getLong(0) + 1, b.getLong(1))
+    // nBase, not idStride, sizes the diagnostics (ADVICE r12): with
+    // sparse event ids, m·idStride OVERSTATES the replicated row count
+    // and rows_per_group — the very number this probe exists to report
+    val b = base.agg(max(col("event_id")), countDistinct(col("user_id")),
+      count(lit(1))).head()
+    val (idStride, nKeys, nBase) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
     def replicate(n: Int): DataFrame =
       (0 until n).map { i =>
         base.select((col("event_id") + lit(i * idStride)).as("event_id"),
@@ -662,7 +674,7 @@ object ScaleProbe {
     }
     spark.stop()
     dirs.foreach { case (m, dir) =>
-      val rows = m.toLong * idStride
+      val rows = m.toLong * nBase
       val tExact = inOwnSession(dir) { d =>
         q40(d, approx = false).write.mode("overwrite").format("noop").save()
       }

@@ -396,6 +396,7 @@ object SparkEntry {
 
     // Q33 — token statistics: whitespace + BPE-ish regex token counts.
     "q33_token_stats" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s) // bpeish_count
       val tk = TextFunctions.tokens(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
         size(tk).as("n_ws"),
@@ -587,20 +588,14 @@ object SparkEntry {
     }),
 
     // Q46 — embedding-cosine near-dup pairs, blocked by label (the
-    // cluster id stands in for an LSH block): exact cosine within blocks.
-    "q46_cosine_neardup" -> ((s, d) => {
-      graft.plans.GraftExtensions.register(s) // vec_dot
-      val e = Tables.embeddings(s, d)
-      val base = e.select(col("label"), col("vec_id").as("id"),
-        col("embedding").as("v"), Similarity.norm2(col("embedding")).as("n2"))
-      base.as("a").join(base.as("b"),
-          col("a.label") === col("b.label") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("d1"), col("b.id").as("d2"),
-          (Similarity.dot(col("a.v"), col("b.v")) /
-            sqrt(col("a.n2") * col("b.n2"))).as("cos"))
-        .where(col("cos") >= 0.3)
-        .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
-    }),
+    // cluster id stands in for an LSH block): exact cosine within
+    // blocks, through the r13 SELF-PROTECTING operator — the largest
+    // block is counted (planning statistic) and the O(B²) plan refuses
+    // to launch past the documented bound, so the exactness baseline
+    // can no longer run unscoped by accident (VERDICT r12 item 6).
+    "q46_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairsBlocked(Tables.embeddings(s, d),
+        col("label"), col("vec_id"), col("embedding"), threshold = 0.3)),
 
     // Q47 — two-feature OLS summary per event_type (A9): params, R² and
     // t-values via the covariance normal equations, one aggregate pass.

@@ -184,9 +184,14 @@ object TextFunctions {
 
   /** BPE-ish subword count: alpha runs, digit runs, and isolated
     * punctuation each count as one token (regex kept to the common
-    * subset of Java and RE2 regex syntax). */
+    * subset of Java and RE2 regex syntax). r13: the engine side is the
+    * native one-pass [[graft.plans.BpeishCount]] — value-identical to
+    * `regexp_count(lower(text), "[a-z]+|[0-9]+|[^a-z0-9 ]")` (spec-
+    * pinned), because the alternation regex's backtracking scan WAS the
+    * whole q105 sf10 budget. Callers need [[graft.plans.GraftExtensions]]
+    * registered on the session (operator entry points do so). */
   def bpeishCount(text: Column): Column =
-    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    call_function("bpeish_count", text)
 
   def bpeishCountSql(e: String): String =
     s"len(regexp_extract_all(lower($e), '[a-z]+|[0-9]+|[^a-z0-9 ]'))"

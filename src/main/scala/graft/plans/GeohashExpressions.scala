@@ -176,6 +176,9 @@ object GraftExtensions {
         NgramShingles(Cast(es(0), StringType),
           Cast(es(1), IntegerType).eval().asInstanceOf[Int], distinct = false)
       }),
+    (FunctionIdentifier("bpeish_count"),
+      info("bpeish_count", "bpeish_count(text) — BPE-ish subword count"),
+      (es: Seq[Expression]) => BpeishCount(Cast(es.head, StringType))),
     (FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(text)"),
       (es: Seq[Expression]) => RepetitionStats(Cast(es.head, StringType))),
@@ -191,7 +194,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => SortedPairs(es.head)),
     (FunctionIdentifier("srp_codes"),
       info("srp_codes",
-        "srp_codes(vec, planes, p) — map-only SRP band codes"),
+        "srp_codes(vec, planes, p[, sketchBands]) — map-only SRP band codes" +
+          " (+ packed sketch tail)"),
       // the plane matrix arrives as foldable literals (typedLit) and
       // folds into expression state at resolution — same contract as
       // nearest_centroid's centroid matrix
@@ -204,7 +208,11 @@ object GraftExtensions {
           .toObjectArray(ArrayType(DoubleType))
           .map(_.asInstanceOf[ArrayData].toDoubleArray())
         val p = Cast(es(2), IntegerType).eval().asInstanceOf[Int]
-        SrpCodes(Cast(es(0), ArrayType(DoubleType)), planes, p)
+        val sb = if (es.length > 3) {
+          requireFoldable("srp_codes", "sketchBands", es(3))
+          Cast(es(3), IntegerType).eval().asInstanceOf[Int]
+        } else 0
+        SrpCodes(Cast(es(0), ArrayType(DoubleType)), planes, p, sb)
       }),
     (FunctionIdentifier("hamming_pruned_pairs"),
       info("hamming_pruned_pairs",

@@ -154,3 +154,69 @@ object NgramShingles {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** `bpeish_count(text)` — one-pass native BPE-ish subword token count,
+  * value-identical to the declarative form it replaces:
+  *
+  * {{{ regexp_count(lower(text), "[a-z]+|[0-9]+|[^a-z0-9 ]") }}}
+  *
+  * (= [[graft.functions.TextFunctions.bpeishCount]], = the DuckDB
+  * `len(regexp_extract_all(lower(e), …))` twin — the oracle contract is
+  * untouched).
+  *
+  * Why native (r13): the alternation regex walks java.util.regex's
+  * backtracking machinery at EVERY position of every document — the
+  * whole q105 sequence-packing budget at sf10 is this scan (the window
+  * cumsum downstream shuffles three longs per doc). The count has a
+  * trivial closed form over the lowered bytes: a maximal [a-z] run
+  * counts 1 (greedy `[a-z]+` with nothing following is maximal), a
+  * maximal digit run counts 1, every OTHER code point except ' '
+  * counts 1 (`[^a-z0-9 ]` matches per code point — start bytes only;
+  * UTF-8 continuation bytes are (b & 0xC0) == 0x80), and a space
+  * matches nothing. Lowercasing uses the same `UTF8String.toLowerCase`
+  * collation `lower()` compiles to, so case/Unicode behavior is
+  * byte-identical to the regexp form. Null text → null (regexp_count's
+  * null propagation).
+  */
+case class BpeishCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpeish_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpeish_count expects a string column, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeishCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = BpeishCount.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeishCount {
+  /** The scan: run-state machine over the lowered UTF-8 bytes.
+    * run = 0 none, 1 alpha, 2 digit. */
+  def compute(s0: UTF8String): Int = {
+    val b = s0.toLowerCase.getBytes
+    var cnt = 0
+    var run = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') { if (run != 1) { cnt += 1; run = 1 } }
+      else if (c >= '0' && c <= '9') { if (run != 2) { cnt += 1; run = 2 } }
+      else if (c == ' ') run = 0
+      else { if ((c & 0xC0) != 0x80) cnt += 1; run = 0 }
+      i += 1
+    }
+    cnt
+  }
+}

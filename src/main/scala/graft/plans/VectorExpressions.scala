@@ -217,10 +217,21 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   * vectors must be dense and non-null — the operator entry points
   * reject shortfall/null planes loudly (ADVICE r12) instead of
   * silently zeroing bits. */
-case class SrpCodes(child: Expression, planes: Array[Array[Double]], p: Int)
+case class SrpCodes(child: Expression, planes: Array[Array[Double]], p: Int,
+                    sketchBands: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val nBands: Int = (planes.length + p - 1) / p
+  // packed-sketch tail (r13): when sketchBands = S > 0, the first S band
+  // codes are ALSO bit-packed into ceil(S·p/64) words appended after the
+  // band codes — the hamming-prune sketch in its minimal shuffle form
+  // (2 words ≤ 128 bits instead of S boxed longs + array overhead; the
+  // unpacked form measured ~50 GB of posting-shuffle payload at the
+  // 2.2 M-vector probe leg). Packing is a bit-position bijection, so
+  // popcount-of-xor over the packed words equals the oracle's
+  // bit_count(xor(...)) sum over the band codes exactly.
+  private val sketchWords: Int =
+    if (sketchBands <= 0) 0 else (sketchBands * p + 63) / 64
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -233,10 +244,11 @@ case class SrpCodes(child: Expression, planes: Array[Array[Double]], p: Int)
         s"got ${t.catalogString}")
   }
 
-  /** One compiled pass: all bands·p dots, bits packed per band. Null
-    * input → all-zero codes (see the class contract). */
+  /** One compiled pass: all bands·p dots, bits packed per band, plus the
+    * packed sketch tail. Null input → all-zero codes (see the class
+    * contract). */
   def compute(v: ArrayData): ArrayData = {
-    val codes = new Array[Long](nBands)
+    val codes = new Array[Long](nBands + sketchWords)
     if (v != null) {
       var b = 0
       while (b < nBands) {
@@ -262,6 +274,19 @@ case class SrpCodes(child: Expression, planes: Array[Array[Double]], p: Int)
         }
         codes(b) = code
         b += 1
+      }
+      // sketch tail: bit (b·p + j) of the flat sketch = bit j of code b
+      var sb = 0
+      while (sb < sketchBands && sb < nBands) {
+        var j = 0
+        while (j < p) {
+          if ((codes(sb) & (1L << j)) != 0) {
+            val flat = sb * p + j
+            codes(nBands + (flat >> 6)) |= (1L << (flat & 63))
+          }
+          j += 1
+        }
+        sb += 1
       }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)

@@ -236,6 +236,27 @@ object Forwarding {
       to_json(struct(metadata.as("metadata"), data.as("data")),
         Map("ignoreNullFields" -> "false")).as("telegram"))
 
+  /** K6 live leg (r13, VERDICT r12 item 3): publish one micro-batch of
+    * `(topic, telegram)` pairs over a REAL MQTT 3.1.1 connection — one
+    * QoS-0 publisher per partition (the per-executor-client shape a
+    * cluster deployment uses; RPi/MyMQTTPUB.py holds exactly one client
+    * per process). Wire from a streaming sink as
+    * `.writeStream.foreachBatch((b, _) => republishViaMqtt(b, host, port))`;
+    * in-sandbox the broker is [[Mqtt.MqttBroker]], in production any
+    * MQTT 3.1.1 endpoint. Publisher setup cost is once per partition,
+    * not per row; QoS-0 delivery matches the reference's publish QoS. */
+  def republishViaMqtt(batch: org.apache.spark.sql.DataFrame,
+                       host: String, port: Int): Unit =
+    batch.select(col("topic"), col("telegram"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val pub = new Mqtt.MqttPublisher(host, port,
+            s"graft-repub-${java.util.UUID.randomUUID().toString.take(8)}")
+          try rows.foreach(r => pub.publish(r.getString(0), r.getString(1)))
+          finally pub.close()
+        }
+      }
+
   // ------------------------------------------------- console monitor (K4)
 
   /** Monitor color codes (MyDatacollector.py:418-427). */

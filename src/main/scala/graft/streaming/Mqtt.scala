@@ -216,13 +216,77 @@ object Mqtt {
     }
   }
 
+  // ---- collecting subscriber ----------------------------------------------
+
+  /** Collecting QoS-0 subscriber — the ASSERTION end of the K6 live
+    * republish leg (and any test that must see what a downstream broker
+    * consumer would): SUBSCRIBEs like a real client and exposes every
+    * received (topic, payload) pair. */
+  final class MqttCollector(host: String, port: Int, topicFilter: String,
+                            clientId: String = "graft-col") {
+    import Codec._
+    private val sock = new Socket(host, port)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    private val queue = new LinkedBlockingQueue[(String, String)]()
+    private val subscribed = new CountDownLatch(1)
+    @volatile private var open = true
+
+    daemon("mqtt-collector") {
+      try {
+        val vh = concat(str("MQTT"), Array[Byte](4, 2, 0, 60))
+        writePacket(out, CONNECT, 0, concat(vh, str(clientId)))
+        require(readPacket(in).ptype == CONNACK, "no CONNACK")
+        writePacket(out, SUBSCRIBE, 2,
+          concat(Array[Byte](0, 1), str(topicFilter), Array[Byte](0)))
+        require(readPacket(in).ptype == SUBACK, "no SUBACK")
+        subscribed.countDown()
+        while (open) {
+          val p = readPacket(in)
+          if (p.ptype == PUBLISH) {
+            val (topic, off) = readStr(p.body, 0)
+            queue.put((topic,
+              new String(p.body, off, p.body.length - off, UTF_8)))
+          }
+        }
+      } catch { case _: Exception => () }
+    }
+
+    def awaitSubscribed(): Unit = subscribed.await()
+
+    /** Blocks until `n` messages arrived or `timeoutMs` elapsed; returns
+      * what arrived (order = broker delivery order). */
+    def take(n: Int, timeoutMs: Long): Seq[(String, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (out.size < n && System.currentTimeMillis() < deadline) {
+        val m = queue.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (m != null) out += m
+      }
+      out.toSeq
+    }
+
+    def close(): Unit = { open = false; scala.util.Try(sock.close()) }
+  }
+
   // ---- subscriber bridge ---------------------------------------------------
 
   /** MQTT subscriber that forwards every received message as one
     * `topic payload` line to a localhost line server — the feed for
     * [[Transport.Socket]]. Lines received before the socket source
     * connects are buffered, so publish/subscribe ordering races with
-    * Spark's query start are benign. */
+    * Spark's query start are benign.
+    *
+    * Reconnect contract (ADVICE r12): the line server accepts in a LOOP
+    * and every connection replays the full line history from the start —
+    * a socket-source reconnect (query restart, task retry) therefore
+    * re-reads the whole feed instead of silently losing everything after
+    * the first connection (and broken pipes are detected via
+    * `PrintWriter.checkError()`, which println alone swallows). History
+    * is unbounded by design: this is the dev/test-grade transport (the
+    * production path is a managed broker + Kafka bridge), and replay-
+    * from-zero matches the socket source's no-offset-tracking recovery
+    * semantics. */
   final class MqttSubscriberBridge(brokerHost: String, brokerPort: Int,
                                    topicFilter: String,
                                    clientId: String = "graft-sub") {
@@ -231,6 +295,7 @@ object Mqtt {
     val linePort: Int = lineServer.getLocalPort
     val lineHost: String = InetAddress.getLoopbackAddress.getHostAddress
     private val queue = new LinkedBlockingQueue[String]()
+    private val history = new java.util.ArrayList[String]()
     private val subscribed = new CountDownLatch(1)
     @volatile private var open = true
 
@@ -259,17 +324,41 @@ object Mqtt {
       } catch { case _: Exception => () }
     }
 
-    daemon("mqtt-bridge-lines") {
+    // queue → history pump: the reader thread never blocks on a client
+    daemon("mqtt-bridge-pump") {
       try {
-        val client = lineServer.accept() // the Spark socket source
-        val w = new java.io.PrintWriter(
-          new java.io.OutputStreamWriter(client.getOutputStream, UTF_8), false)
         while (open) {
           val line = queue.take()
-          w.println(line)
-          w.flush()
+          history.synchronized { history.add(line); history.notifyAll() }
         }
       } catch { case _: Exception => () }
+    }
+
+    daemon("mqtt-bridge-lines") {
+      while (open) {
+        try {
+          val client = lineServer.accept() // a Spark socket source (re)connect
+          val w = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(client.getOutputStream, UTF_8), false)
+          var idx = 0
+          var live = true
+          while (open && live) {
+            val line = history.synchronized {
+              while (open && history.size() <= idx) history.wait(500)
+              if (history.size() > idx) history.get(idx) else null
+            }
+            if (line != null) {
+              idx += 1
+              w.println(line)
+              w.flush()
+              // println/flush swallow IOExceptions — fail the CONNECTION
+              // loudly and fall back to accept() for the reconnect
+              if (w.checkError()) live = false
+            }
+          }
+          scala.util.Try(client.close())
+        } catch { case _: Exception => () } // server closed / accept raced
+      }
     }
 
     /** Blocks until the broker granted the subscription — publish after
@@ -278,6 +367,7 @@ object Mqtt {
 
     def close(): Unit = {
       open = false
+      history.synchronized { history.notifyAll() } // release waiting writers
       scala.util.Try(sock.close())
       scala.util.Try(lineServer.close())
     }

@@ -438,4 +438,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQ(0L) == 0.5 && (1L to 4L).forall(perQ(_) == 0.0))
     assert(Similarity.meanRecallAtK(partial, bf, 4) == 0.1)
   }
+
+  test("exact near-dup guards refuse unscoped quadratics (r13 fence)") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i =>
+        (i, i % 4, Array(math.cos(i * 0.3), math.sin(i * 0.3), 0.5)))
+      .toDF("vec_id", "label", "v")
+    // over the bound: refuse at CALL time, message routes to the LSH path
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(corpus, col("vec_id"), col("v"),
+        0.9, maxExactRows = 10)
+    }
+    assert(e1.getMessage.contains("cosineNearDupPairsLshAuto"))
+    // under the bound: runs, exact (adjacent fixture vectors sit at
+    // cos ≈ 0.964)
+    assert(Similarity.cosineNearDupPairs(corpus, col("vec_id"), col("v"),
+      0.9, maxExactRows = 20).count() > 0)
+    // blocked guard keys on the LARGEST BLOCK, not the corpus size
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsBlocked(corpus, col("label"),
+        col("vec_id"), col("v"), 0.9, maxBlockRows = 3)
+    }
+    assert(e2.getMessage.contains("largest block has 5 rows"))
+    // blocked result == the inline blocked join it replaces (q46 shape)
+    val viaOp = Similarity.cosineNearDupPairsBlocked(corpus, col("label"),
+        col("vec_id"), col("v"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = corpus.select(col("label"), col("vec_id").as("id"),
+      col("v"), Similarity.norm2(col("v")).as("n2"))
+    val inline = base.as("a").join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          sqrt(col("a.n2") * col("b.n2"))).as("cos"))
+      .where(col("cos") >= 0.3)
+      .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaOp === inline)
+  }
 }

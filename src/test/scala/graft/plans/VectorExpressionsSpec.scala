@@ -70,6 +70,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out === Seq(0L, 0L)) // 2 bands of 4 planes, all bits zeroed
   }
 
+  test("srp_codes sketch tail: packed words are a bit-bijection of the " +
+      "first S band codes (hamming preserved)") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(6)(java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1))))
+    val p = 5; val bands = 6; val s = 4 // 20 sketch bits → 1 word
+    val planes = corpus.take(p * bands).map(_._2.map(_.doubleValue()))
+    val rows = corpus.toDF("id", "v")
+      .select(col("id"), call_function("srp_codes", col("v"),
+        typedLit(planes), lit(p), lit(s)).as("cw"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    rows.foreach { case (_, cw) =>
+      assert(cw.length === bands + 1) // 6 codes + ceil(20/64)=1 word
+      val manual = (0 until s).foldLeft(0L) { (acc, b) =>
+        acc | (cw(b) << (b * p))
+      }
+      assert(cw(bands) === manual, s"packed word mismatch for codes $cw")
+    }
+    // hamming over packed words == summed per-band hamming over codes
+    for (pair <- rows.take(10).toSeq.combinations(2)) {
+      val (a, b) = (pair(0)._2, pair(1)._2)
+      val packed = java.lang.Long.bitCount(a(bands) ^ b(bands))
+      val perBand = (0 until s).map(i =>
+        java.lang.Long.bitCount(a(i) ^ b(i))).sum
+      assert(packed === perBand)
+    }
+  }
+
   test("hamming_pruned_pairs: emits exactly the pairs under the cut") {
     // entries sorted by pk; sketches chosen so hamming distances are
     // (1,2): 1 bit, (1,3): 2 bits, (2,3): 3 bits, x-with-null-sk: 0

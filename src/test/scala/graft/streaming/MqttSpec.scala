@@ -81,4 +81,68 @@ class MqttSpec extends AnyFunSuite {
       broker.close()
     }
   }
+
+  test("K6 live republish: broker-received telegrams equal the q87 " +
+      "column, across a real micro-batch boundary") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") < 40)
+    val rv = when(col("event_id") % 3 =!= 0, col("event_id") % 100)
+    val out = Forwarding.republish("IoS", lit("SAN"),
+      concat(lit("d"), col("user_id")),
+      struct(lit("SAN").as("project"),
+        concat(lit("d"), col("user_id")).as("serial")),
+      struct(col("value").as("temp"), rv.as("rv")))
+    val pairs = events.select((col("event_id") % 2).cast("int").as("half"),
+      out.getField("topic").as("topic"),
+      out.getField("telegram").as("telegram"))
+    val expected = pairs.select("topic", "telegram").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(expected.size == 40)
+
+    // stage the SAME pairs as TWO parquet files → file stream at
+    // maxFilesPerTrigger=1 → at least one real micro-batch boundary
+    val root = java.nio.file.Files.createTempDirectory("q87live")
+    val inDir = java.nio.file.Files.createDirectories(root.resolve("in"))
+    Seq(0, 1).foreach { h =>
+      val stage = root.resolve(s"stage$h").toString
+      pairs.where(col("half") === h).select("topic", "telegram")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      val part = try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally ls.close()
+      val dest = inDir.resolve(s"b$h.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(1700000000000L + h * 60000L)
+    }
+
+    val broker = new Mqtt.MqttBroker()
+    val col6 = new Mqtt.MqttCollector(broker.host, broker.port, "IoS/#")
+    try {
+      col6.awaitSubscribed()
+      val stream = spark.readStream
+        .schema("topic string, telegram string")
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Forwarding.republishViaMqtt(b, broker.host, broker.port))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+
+      val got = col6.take(expected.size, 30000)
+      // multiset equality: per-partition publishers make cross-partition
+      // arrival order unspecified, content must match exactly
+      assert(got.size == expected.size,
+        s"broker received ${got.size} of ${expected.size} telegrams")
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        expected.groupBy(identity).view.mapValues(_.size).toMap,
+        "broker-received (topic, telegram) multiset differs from q87")
+    } finally {
+      col6.close()
+      broker.close()
+    }
+  }
 }
