@@ -42,7 +42,12 @@ object StreamProbe {
       f"${"stateRows"}%10s ${"stateMB"}%8s ${"batches"}%8s ${"maxBatchS"}%9s ${"totalS"}%7s")
     val mults = sys.env.getOrElse("SPARK_GRAFT_PROBE_MULTS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
-    for (leg <- legs; store <- Seq("hdfs", "rocksdb"); mult <- mults) {
+    // store filter (r13): the 2 M-key decade leg runs RocksDB ONLY —
+    // the HDFS-backed store keeps all state on-heap and that leg exists
+    // precisely because heap no longer bounds RocksDB
+    val stores = sys.env.getOrElse("SPARK_GRAFT_PROBE_STORES", "hdfs,rocksdb")
+      .split(",").map(_.trim).toSeq
+    for (leg <- legs; store <- stores; mult <- mults) {
       val keys = 2000 * mult
       runLeg(spark, leg, store, keys)
     }
