@@ -391,6 +391,13 @@ object ScaleProbe {
         // leg's min-of-2 runs spill tens of GB each — without periodic
         // GC run 1's dead files survive into run 2 and the disk dies
         .config("spark.cleaner.periodicGC.interval", "30s")
+        // mirror Bench's ObjectHashAggregate fallback (r13): Spark's
+        // default falls back to SORT-based aggregation at 128 distinct
+        // groups per partition, and the (band, bucket) posting aggregate
+        // has millions — the probe would otherwise measure the default-
+        // config sort spill, not the operator (Bench.scala sets the same)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "262144"))
         .getOrCreate()
       graft.plans.GraftExtensions.register(s)
       s.range(1000000).selectExpr("sum(id % 7)").collect()
