@@ -1249,17 +1249,24 @@ object SparkEntry {
     // corpus is augmented with deterministic perturbed twins of every
     // 10th vector — integer-rational deltas, bit-identical in both
     // engines — giving true near-dups spread around the threshold.
+    // r13: the twin-id offset is max(id)+1 (data-derived, mirrored in
+    // SQL) — the old fixed +10000 COLLIDED with base ids once the corpus
+    // passed 10k vectors (sf1), and while the duplicate ids computed
+    // identically in both engines pre-r13, the sketch-prune mirror joins
+    // band codes BY ID, which double-counts hamming sums under id
+    // duplication (caught by the r13 sf1 gate).
     "q91_lsh_neardup_pairs" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s) // vec_dot
       val e = Tables.embeddings(s, d)
       val base = e.select(col("vec_id").cast("long").as("id"),
         col("embedding").as("v"))
+      val vStride = base.agg(max(col("id"))).head().getLong(0) + 1
       val twins = base.where(col("id") % 10 === 0)
         .withColumn("v2", transform(col("v"), (x, i) =>
           x.cast("double") +
             (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
               (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
-        .select((col("id") + 10000L).as("id"), col("v2").as("v"))
+        .select((col("id") + vStride).as("id"), col("v2").as("v"))
       val corpus = base
         .select(col("id"), transform(col("v"), x => x.cast("double")).as("v"))
         .unionByName(twins)
@@ -1423,12 +1430,14 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val base = e.select(col("vec_id").cast("long").as("id"),
         col("embedding").as("v"))
+      // data-derived twin offset — see the q91 r13 note
+      val vStride = base.agg(max(col("id"))).head().getLong(0) + 1
       val twins = base.where(col("id") % 10 === 0)
         .withColumn("v2", transform(col("v"), (x, i) =>
           x.cast("double") +
             (((col("id") * 31 + i.cast("long") * 17) % 7) - 3).cast("double") *
               (lit(0.02) + (col("id") % 4).cast("double") * lit(0.01))))
-        .select((col("id") + 10000L).as("id"), col("v2").as("v"))
+        .select((col("id") + vStride).as("id"), col("v2").as("v"))
       val corpus = base
         .select(col("id"), transform(col("v"), x => x.cast("double")).as("v"))
         .unionByName(twins)
@@ -3010,7 +3019,7 @@ object SparkEntry {
                        FROM embeddings),
           base AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
                    FROM raw),
-          tw AS (SELECT id + 10000 AS id,
+          tw AS (SELECT id + (SELECT max(id) + 1 FROM raw) AS id,
                         list(CAST(x AS DOUBLE) +
                              ((id*31 + (ord-1)*17) % 7 - 3) *
                              (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v
@@ -3418,7 +3427,7 @@ object SparkEntry {
                        FROM embeddings),
           base AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
                    FROM raw),
-          tw AS (SELECT id + 10000 AS id,
+          tw AS (SELECT id + (SELECT max(id) + 1 FROM raw) AS id,
                         list(CAST(x AS DOUBLE) +
                              ((id*31 + (ord-1)*17) % 7 - 3) *
                              (0.02e0 + (id % 4) * 0.01e0) ORDER BY ord) AS v
