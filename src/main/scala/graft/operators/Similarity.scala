@@ -318,18 +318,18 @@ object Similarity {
 
   /** Signed-random-projection bucket id per vector: bit p = sign of the
     * dot product against plane p, planes = the first P corpus vectors
-    * (deterministic, no shared RNG with the oracle). */
+    * (deterministic, no shared RNG with the oracle). r13: coding is the
+    * map-only [[graft.plans.SrpCodes]] (one band of P bits) — the
+    * broadcast-join + partial-agg form it replaces materialized both
+    * vectors on every one of the n×P fan-out rows. */
   def lshBuckets(emb: DataFrame, id: Column, vec: Column,
                  planes: Int): DataFrame = {
     ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"))
-    val pl = base.where(col("id") < planes)
-      .select(col("id").as("p"), col("v").as("p_v"))
-    base.join(broadcast(pl))
-      .groupBy(col("id"))
-      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
-        call_function("shiftleft", lit(1L), col("p").cast("int")))
-        .otherwise(0L)).as("bucket"))
+    val pl = collectPlanes(base, planes)
+    base.select(col("id"),
+      element_at(call_function("srp_codes", col("v"),
+        typedLit(pl.map(_.toSeq).toSeq), lit(planes)), 1).as("bucket"))
   }
 
   /** IVF cell assignment: nearest centroid by squared euclidean distance
@@ -579,16 +579,14 @@ object Similarity {
                    k: Int): DataFrame = {
     ensureRegistered(emb)
     val base = emb.select(id.as("id"), vec.as("v"), norm2(vec).as("n2"))
-    val pl = base.where(col("id") < planesPerBand * bands)
-      .select((col("id") / planesPerBand).cast("int").as("band"),
-        pmod(col("id"), lit(planesPerBand)).cast("int").as("p"),
-        col("v").as("p_v"))
-    // (id, band) -> bucket code within that band
-    val coded = base.join(broadcast(pl))
-      .groupBy(col("id"), col("band"))
-      .agg(sum(when(dot(col("v"), col("p_v")) >= 0,
-        call_function("shiftleft", lit(1L), col("p")))
-        .otherwise(0L)).as("bucket"))
+    // (id, band) -> bucket code within that band; map-only srp_codes
+    // (r13) — same values as the broadcast-plane join + bit-sum form,
+    // without the n×(p·bands) fan-out carrying both vectors
+    val pl = collectPlanes(base, planesPerBand * bands)
+    val coded = base.select(col("id"),
+        posexplode(call_function("srp_codes", col("v"),
+          typedLit(pl.map(_.toSeq).toSeq), lit(planesPerBand)))
+          .as(Seq("band", "bucket")))
     val q = coded.where(col("id") < nQueries)
       .select(col("id").as("q_id"), col("band").as("q_band"),
         col("bucket").as("q_bucket"))
