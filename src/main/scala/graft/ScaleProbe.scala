@@ -47,6 +47,9 @@ object ScaleProbe {
     if (args.lift(2).contains("lshpairs")) {
       probeLshPairs(spark, sfDir, mults); return
     }
+    if (args.lift(2).contains("lshstage")) {
+      probeLshStages(spark, sfDir); spark.stop(); return
+    }
     if (args.lift(2).contains("hygiene")) {
       probeHygiene(spark, sfDir, mults); return
     }
@@ -349,6 +352,57 @@ object ScaleProbe {
     * own sessions like the dedup legs; pair count printed so output
     * linearity is auditable, wall-clock should track the corpus, never
     * its square. */
+  /** Stage-cost decomposition of the r13 LSH near-dup pipeline over a
+    * PRE-REPLICATED probe corpus dir (the /tmp/graft_scale_emb_* output
+    * of [[probeLshPairs]]): attributes the ×100 wall-clock to the
+    * map-only coding, the (band, bucket) posting aggregate, the pruned
+    * pair generation + distinct, or the exact-verify tail — each leg a
+    * noop write of the pipeline PREFIX (stage expressions mirror
+    * cosineNearDupPairsLsh verbatim; the `full` leg runs the real
+    * operator).
+    * `runMain graft.ScaleProbe /tmp/graft_scale_emb_100x 1 lshstage` */
+  private def probeLshStages(spark: SparkSession, dir: String): Unit = {
+    graft.plans.GraftExtensions.register(spark)
+    val d = spark.read.parquet(dir)
+    val n = d.count()
+    val (p, bands) = operators.Similarity.lshPairKnobs(n, 0.9)
+    val s = operators.Similarity.sketchBands(p, bands)
+    val hMax = operators.Similarity.hammingCut(s * p, 0.9)
+    val nWords = (s * p + 63) / 64
+    println(s"LSHSTAGE knobs: n=$n p=$p bands=$bands s=$s hMax=$hMax")
+    val base = d.select(col("id"), col("v"),
+      call_function("vec_dot", col("v"), col("v")).as("n2"))
+    val planes = operators.Similarity.collectPlanes(base, p * bands)
+    def leg(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"LSHSTAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def coded = base.select(col("id"),
+      call_function("srp_codes", col("v"),
+        typedLit(planes.map(_.toSeq).toSeq), lit(p), lit(s)).as("cw"))
+    def entries = coded.select(col("id"),
+      slice(col("cw"), bands + 1, nWords).as("sk"),
+      posexplode(slice(col("cw"), 1, bands)).as(Seq("band", "bucket")))
+    def posting = entries.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sk")))).as("es"))
+      .where(size(col("es")).between(2, 1000))
+    def cand = posting.select(
+        call_function("hamming_pruned_pairs", col("es"), lit(hMax))
+          .as(Seq("d1", "d2")))
+      .distinct()
+    leg("coding")(coded)
+    leg("entries")(entries)
+    leg("posting")(posting)
+    leg("cand_pruned")(cand)
+    // pruned-survivor count — the row count the exact-verify tail pays a
+    // vector fetch for (near-threshold pairs the sketch CANNOT drop:
+    // they are genuinely close, the verify exists for exactly them)
+    println(s"LSHSTAGE cand_rows    ${cand.count()}")
+    leg("full")(operators.Similarity.cosineNearDupPairsLsh(
+      d, col("id"), col("v"), 0.9, p, bands))
+  }
+
   private def probeLshPairs(spark: SparkSession, sfDir: String,
                             mults: Array[Int]): Unit = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -3448,9 +3448,11 @@ object SparkEntry {
           hs AS (SELECT p, bands,
                         LEAST(bands, GREATEST(1, 128 // p)) AS s,
                         CAST(ceil(LEAST(bands, GREATEST(1, 128 // p)) * p
-                               * acos(0.9) / pi() +
-                             2.5 * sqrt(CAST(LEAST(bands,
-                               GREATEST(1, 128 // p)) * p AS DOUBLE)))
+                               * (acos(0.9) / pi()) +
+                             4 * sqrt(CAST(LEAST(bands,
+                                 GREATEST(1, 128 // p)) * p AS DOUBLE)
+                               * (acos(0.9) / pi())
+                               * (1 - acos(0.9) / pi())))
                           AS INT) AS hmax
                  FROM kb),
           pl AS (SELECT CAST(id // (SELECT p FROM kp) AS INT) AS band,

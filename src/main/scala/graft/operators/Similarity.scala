@@ -256,22 +256,26 @@ object Similarity {
     math.min(bands, math.max(1, 128 / planesPerBand))
 
   /** Hamming cut for the sketch prune at `bits` sketch bits. The
-    * per-plane disagreement probability of a pair at angle θ is θ/π
+    * per-plane disagreement probability of a pair at angle θ is f = θ/π
     * (the SRP collision curve), so a pair exactly at the threshold
-    * angle expects bits·θ/π differing bits with σ ≤ √bits/2; the cut
-    * adds 2.5·√bits (≥ 6σ at high thresholds), so a true ≥-threshold
-    * pair fails the prune with probability ~1e-10 while random pairs
-    * (θ ≈ π/2, mean bits/2) pass with ~1e-3 — the candidate set falls
-    * from O(n·bands·bucket) to ~O(n) before any vector is fetched.
-    * Deterministic, computed from the same knobs in both engines (the
-    * oracle mirrors it with bit_count(xor(...)) over the same band
-    * codes), so the pruned set is identical by construction — a pair
-    * the sketch drops is dropped in BOTH engines. When the cut reaches
-    * `bits` the prune degrades to a no-op (tiny corpora), never below
-    * the banding's own recall. */
-  def hammingCut(bits: Int, threshold: Double): Int =
-    math.ceil(bits * math.acos(threshold) / math.Pi +
-      2.5 * math.sqrt(bits.toDouble)).toInt
+    * angle has hamming ~ Binomial(bits, f): mean bits·f, σ =
+    * √(bits·f·(1−f)). The cut is mean + 4σ — a true ≥-threshold pair
+    * fails the prune with probability ~3e-5 (and identically in BOTH
+    * engines: the cut is deterministic and the oracle mirrors it with
+    * bit_count(xor(...)) over the same band codes, so the pruned set is
+    * equal by construction), while pairs at wider angles die fast: at
+    * 114 bits and threshold 0.9 the cut sits at cos ≈ 0.63, so random
+    * pairs (θ ≈ π/2) pass with ~1e-9 and only genuinely-near pairs
+    * reach the vector fetch. (An earlier 2.5·√bits margin was ~7σ and
+    * admitted everything down to cos ≈ 0.37 — at the ×100 probe leg
+    * that let all 135 M intra-cluster candidates through to the exact
+    * verify; the 4σ form is the same recall bar with an honest width.)
+    * When the cut reaches `bits` the prune degrades to a no-op (tiny
+    * corpora), never below the banding's own recall. */
+  def hammingCut(bits: Int, threshold: Double): Int = {
+    val f = math.acos(threshold) / math.Pi
+    math.ceil(bits * f + 4.0 * math.sqrt(bits * f * (1.0 - f))).toInt
+  }
 
   /** The first `nPlanes` corpus vectors by id (ids 0..nPlanes−1 — the
     * deterministic SRP plane contract), collected as bounded driver
@@ -279,7 +283,7 @@ object Similarity {
     * statistic, the ivfAssign-centroid stance). Shortfall or null
     * planes fail LOUDLY (ADVICE r12): a partial plane set silently
     * zeroes code bits and collapses recall with no trace. */
-  private[operators] def collectPlanes(base: DataFrame,
+  private[graft] def collectPlanes(base: DataFrame,
                                        nPlanes: Int): Array[Array[Double]] = {
     val rows = base.where(col("id") < nPlanes)
       .select(col("id").cast("long"), col("v")).collect()
@@ -293,7 +297,7 @@ object Similarity {
   /** One plane row → dense double vector; null vectors/elements are
     * rejected with a clear message (they would silently zero a code
     * bit for every corpus vector). */
-  private[operators] def planeVector(r: org.apache.spark.sql.Row): Array[Double] = {
+  private[graft] def planeVector(r: org.apache.spark.sql.Row): Array[Double] = {
     val s = r.getSeq[Any](1)
     require(s != null, s"SRP plane ${r.get(0)}: null plane vector")
     s.map {
