@@ -108,7 +108,7 @@ object Bench {
     // contract is unchanged — Verify still renders inline.
     val q76Render: Option[Double] =
       if (selected.exists(_._1 == "q76_ttn_envelope")) {
-        val path = s"/tmp/graft_bench_q76_${math.abs(sfDir.hashCode)}"
+        val path = s"${graft.Scratch.root}/graft_bench_q76_${math.abs(sfDir.hashCode)}"
         val t0 = System.nanoTime()
         SparkEntry.ttnFixtureLines(Tables.events(spark, sfDir))
           .write.mode("overwrite").parquet(path)
@@ -123,7 +123,7 @@ object Bench {
       val timed: () => org.apache.spark.sql.DataFrame =
         if (name == "q76_ttn_envelope") { () =>
           SparkEntry.q76Pipeline(spark.read.parquet(
-            s"/tmp/graft_bench_q76_${math.abs(sfDir.hashCode)}"))
+            s"${graft.Scratch.root}/graft_bench_q76_${math.abs(sfDir.hashCode)}"))
         } else { () => fn(spark, sfDir) }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

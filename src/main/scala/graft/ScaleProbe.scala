@@ -384,10 +384,25 @@ object ScaleProbe {
     def entries = coded.select(col("id"),
       slice(col("cw"), bands + 1, nWords).as("sk"),
       posexplode(slice(col("cw"), 1, bands)).as(Seq("band", "bucket")))
+    // flat native posting aggregate — mirrors cosineNearDupPairsLsh's
+    // r13-opt shape (records of w longs, entry count = size/w)
+    val w = nWords + 1
     def posting = entries.groupBy(col("band"), col("bucket"))
+      .agg(call_function("posting_flat_agg",
+        col("id"), col("sk"), lit(w)).as("es"))
+      .where(size(col("es")).between(2 * w, 1000 * w))
+    def cand = posting.select(
+        call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
+          lit(hMax)).as(Seq("d1", "d2")))
+      .distinct()
+    // r13-opt A/B legs: the boxed struct form the flat aggregate
+    // replaced (array_sort(collect_list(struct)) + struct-input
+    // generator), timed same-session so the attribution is host-tide-
+    // free. Same candidate SET by construction (PostingFlatSpec).
+    def postingStruct = entries.groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("id"), col("sk")))).as("es"))
       .where(size(col("es")).between(2, 1000))
-    def cand = posting.select(
+    def candStruct = postingStruct.select(
         call_function("hamming_pruned_pairs", col("es"), lit(hMax))
           .as(Seq("d1", "d2")))
       .distinct()
@@ -395,6 +410,8 @@ object ScaleProbe {
     leg("entries")(entries)
     leg("posting")(posting)
     leg("cand_pruned")(cand)
+    leg("posting_struct")(postingStruct)
+    leg("cand_struct")(candStruct)
     // pruned-survivor count — the row count the exact-verify tail pays a
     // vector fetch for (near-threshold pairs the sketch CANNOT drop:
     // they are genuinely close, the verify exists for exactly them)

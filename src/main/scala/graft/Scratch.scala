@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Run-scratch placement (r13 opt round, guide §5/§6): the streaming
+  * replays (q36/q79/q92/q94/q97/q101) pay one offset-log + commit-log +
+  * per-state-partition delta-file fsync chain PER MICRO-BATCH, and the
+  * report/roundtrip queries (q80/q81/q82/q89/q90) stage their artifacts
+  * through temp dirs — all of it single-run scratch that `java.io.tmpdir`
+  * puts on the root disk. Placing it on tmpfs removes the disk round
+  * trips from a constant that is pure per-batch overhead, independent of
+  * data volume.
+  *
+  * Resolution order: `SPARK_GRAFT_SCRATCH` (deploys point this at the
+  * fast local volume of their choice — or at durable storage for
+  * checkpoints that must survive the host) > `/dev/shm` when present and
+  * writable (Linux tmpfs) > `java.io.tmpdir`. NOT result caching: every
+  * path below is created fresh per run and holds only intra-run state;
+  * nothing written here survives into, or seeds, a later invocation.
+  *
+  * Production note (100 TB stance): a real streaming deploy sets a
+  * durable `checkpointLocation` through its own config — these replays
+  * are batch-parity harnesses whose checkpoints are scratch BY CONTRACT
+  * (created fresh, deleted on exit). The tmpfs default only moves that
+  * scratch; it does not change what a production checkpoint would be. */
+object Scratch {
+  lazy val root: Path = {
+    val fromEnv = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
+    val shm = Paths.get("/dev/shm")
+    val base = fromEnv.orElse {
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+    }.getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
+    Files.createDirectories(base)
+    base
+  }
+
+  /** `Files.createTempDirectory` rooted at [[root]]. */
+  def tempDir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+}

@@ -1019,7 +1019,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(18,2)"))
             .cast("double").as("total_bal"))
-      val f = java.nio.file.Files.createTempDirectory("q80")
+      val f = graft.Scratch.tempDir("q80")
         .resolve("report.xlsx").toString
       graft.sources.XlsxWriter.write(rpt, f)
       graft.sources.XlsxSource.read(s, f)
@@ -1048,7 +1048,7 @@ object SparkEntry {
           s"</td><td>${r.getDouble(2)}</td></tr>")
       }
       sb.append("</table></body></html>")
-      val f = java.nio.file.Files.createTempDirectory("q81")
+      val f = graft.Scratch.tempDir("q81")
         .resolve("suppliers.html")
       java.nio.file.Files.writeString(f, sb.toString)
       graft.sources.HtmlTableSource.read(s, f.toString)
@@ -1064,7 +1064,7 @@ object SparkEntry {
       val toS = 1704240000L   // 2024-01-03T00Z, 49 hourly buckets
       val frame = HourlyExport.hourlyFrame(Tables.events(s, d),
         pmod(col("user_id"), lit(50)), col("ts"), col("value"), fromS, toS)
-      val dir = java.nio.file.Files.createTempDirectory("q82").toString
+      val dir = graft.Scratch.tempDir("q82").toString
       HourlyExport.writeCsv(frame, dir)
       s.read.option("header", "true").option("inferSchema", "true")
         .csv(dir)
@@ -1208,7 +1208,7 @@ object SparkEntry {
       val blocks = ChartDoc.seriesBlocks(e,
         (col("user_id") % 12).cast("int"), col("event_type"),
         eS(col("ts")), col("event_id"), col("value"))
-      val f = java.nio.file.Files.createTempDirectory("q89")
+      val f = graft.Scratch.tempDir("q89")
         .resolve("charts.html")
       java.nio.file.Files.writeString(f, ChartDoc.document(blocks))
       ChartDoc.parseSeries(s, f.toString)
@@ -1235,7 +1235,7 @@ object SparkEntry {
       val markers = MapDoc.stationYearMarkers(e, st, sensor,
         eS(col("ts")) + (col("event_id") % 4) * 31536000L,
         lit(51.0) + (st % 37) * 0.011, lit(5.0) + (st * 5 % 41) * 0.013)
-      val f = java.nio.file.Files.createTempDirectory("q90")
+      val f = graft.Scratch.tempDir("q90")
         .resolve("map.html")
       java.nio.file.Files.writeString(f, MapDoc.document(markers))
       MapDoc.parseMarkers(s, f.toString)

@@ -485,6 +485,16 @@ object Dedup {
         // check re-executes ALL prior rounds — O(rounds²) work. (At real
         // scale this persist would be a checkpoint to also truncate the
         // lineage for fault recovery.)
+        // r13 opt round, measured and REJECTED: a pointer-jumping step
+        // (label(n) ← min(label(n), label(label(n))), the O(log d)
+        // round bound) was prototyped here — on q72's real near-dup
+        // graph the loop converges in 2 ROUNDS at sf0.001 AND sf0.01
+        // (DiagCc measurement, OPTIMIZATION_r13.md), so the jump's
+        // extra node-table self-join per round bought nothing and cost
+        // one more shuffle per round. Near-dup clusters are mutual
+        // near-copies — diameter stays tiny by construction; the jump
+        // only pays off on chain-shaped graphs this operator never
+        // sees. Kept O(diameter) neighbour-min.
         val next = labels.join(nbrMin, col("n") === col("src"), "left")
           .select(col("n"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
@@ -500,6 +510,10 @@ object Dedup {
         iter += 1
       }
       require(fixed, s"label propagation did not converge in $maxIter rounds")
+      // scale diagnostic (the embedOverlap-gate precedent): rounds are
+      // the unit this operator's cost scales in — O(log diameter) with
+      // the pointer jump; a deploy seeing this climb should checkpoint
+      println(s"[graft] connectedComponents: converged in $iter rounds")
       labels
     } catch { case e: Throwable => labels.unpersist(); throw e
     } finally edges.unpersist()

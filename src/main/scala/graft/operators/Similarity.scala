@@ -186,12 +186,22 @@ object Similarity {
     val entries = coded.select(col("id"),
       slice(col("cw"), bands + 1, nWords).as("sk"),
       posexplode(slice(col("cw"), 1, bands)).as(Seq("band", "bucket")))
+    // Native flat posting aggregate (r13 opt round): each posting list is
+    // one primitive long buffer of [id, sk words] records — no struct
+    // boxing per entry, no comparator array_sort at eval (the flat pair
+    // generator emits (least, greatest), so list order is unobservable).
+    // The ×100 probe leg measured the boxed collect_list+array_sort form
+    // as the pipeline's largest constant (~45 s of 62.6 s; SCALING.md).
+    // The bucket-cap filter counts ENTRIES = size/width — bounds scale by
+    // the width, an exact rewrite since size is always width-aligned.
+    val w = nWords + 1
     val posting = entries.groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(struct(col("id"), col("sk")))).as("es"))
-      .where(size(col("es")).between(2, bucketCap))
+      .agg(call_function("posting_flat_agg",
+        col("id"), col("sk"), lit(w)).as("es"))
+      .where(size(col("es")).between(2 * w, bucketCap * w))
     val cand = posting.select(
-        call_function("hamming_pruned_pairs", col("es"), lit(hMax))
-          .as(Seq("d1", "d2")))
+        call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
+          lit(hMax)).as(Seq("d1", "d2")))
       .distinct()
     // Explicit merge hints on the verify joins: the candidate-pair side
     // sits above a Generate → aggregate chain whose size Catalyst

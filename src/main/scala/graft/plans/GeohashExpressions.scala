@@ -221,6 +221,25 @@ object GraftExtensions {
         requireFoldable("hamming_pruned_pairs", "hMax", es(1))
         HammingPrunedPairs(es.head,
           Cast(es(1), IntegerType).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("posting_flat_agg"),
+      info("posting_flat_agg",
+        "posting_flat_agg(id, sk, width) — flat [id, sk...] posting list"),
+      (es: Seq[Expression]) => {
+        requireFoldable("posting_flat_agg", "width", es(2))
+        FlatPostingAggregate(Cast(es(0), LongType),
+          Cast(es(1), ArrayType(LongType)),
+          Cast(es(2), IntegerType).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("hamming_pruned_pairs_flat"),
+      info("hamming_pruned_pairs_flat",
+        "hamming_pruned_pairs_flat(array<bigint>, w, hMax) — generator"),
+      (es: Seq[Expression]) => {
+        requireFoldable("hamming_pruned_pairs_flat", "w", es(1))
+        requireFoldable("hamming_pruned_pairs_flat", "hMax", es(2))
+        HammingPairsFlat(es.head,
+          Cast(es(1), IntegerType).eval().asInstanceOf[Int],
+          Cast(es(2), IntegerType).eval().asInstanceOf[Int])
       }))
 
   /** Imperative registration on an existing session — idempotent AND

@@ -96,3 +96,90 @@ case class SortedLongsAggregate(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `posting_flat_agg(id, sk)` — the (band, bucket) posting-list aggregate
+  * of the LSH near-dup pipeline (q91/q102) as a native
+  * [[TypedImperativeAggregate]] over ONE flat primitive long buffer.
+  *
+  * Replaces `array_sort(collect_list(struct(id, sk)))`, whose costs the
+  * ×100 probe leg measured as the pipeline's largest constant (~45 s of
+  * 62.6 s at 95 M posting entries, SCALING.md r13): a boxed struct copy
+  * per entry on update, a boxed traversal per partial/merge serialisation,
+  * and a comparator-driven `array_sort` pass over assembled struct arrays.
+  * Here each entry is `1 + |sk|` primitive longs `[id, sk...]` appended
+  * flat (update = bounds check + array stores, merge = one arraycopy,
+  * (de)serialise = flat ByteBuffer), and NO sort happens at all: the
+  * consumer [[HammingPairsFlat]] emits each surviving pair as
+  * (least, greatest), so list order — which only ever came from
+  * collect_list's arrival order — cannot reach the output. Output is the
+  * flat `array<bigint>` itself; entry count = size/width (the bucket-cap
+  * filter scales its bounds by the width, an exact rewrite since size is
+  * always a multiple of the width).
+  *
+  * The sketch width is fixed per query (`ceil(S·p/64)` words, a plan-time
+  * constant) and passed as `width`; a row whose `sk` disagrees fails
+  * loudly rather than corrupting record framing. Null ids/sketches cannot
+  * occur by construction (both are projections of non-null `srp_codes`
+  * output) — nulls fail loudly too. */
+case class FlatPostingAggregate(id: Expression, sk: Expression, width: Int,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongBuf]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = id
+  override def right: Expression = sk
+
+  override def createAggregationBuffer(): LongBuf =
+    new LongBuf(new Array[Long](16), 0)
+
+  override def update(b: LongBuf, input: InternalRow): LongBuf = {
+    val idV = id.eval(input)
+    val skV = sk.eval(input)
+    require(idV != null && skV != null,
+      "posting_flat_agg: null id/sketch (srp_codes output is non-null)")
+    val arr = skV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() == width - 1,
+      s"posting_flat_agg: sketch width ${arr.numElements()} != ${width - 1}")
+    b.add(idV.asInstanceOf[Long])
+    var k = 0
+    while (k < width - 1) { b.add(arr.getLong(k)); k += 1 }
+    b
+  }
+
+  override def merge(b1: LongBuf, b2: LongBuf): LongBuf = {
+    b1.addAll(b2); b1
+  }
+
+  override def eval(b: LongBuf): Any =
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(b.xs, b.n))
+
+  override def serialize(b: LongBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val xs = new Array[Long](math.max(16, n))
+    var i = 0
+    while (i < n) { xs(i) = bb.getLong; i += 1 }
+    new LongBuf(xs, n)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "posting_flat_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FlatPostingAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FlatPostingAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(id = newLeft, sk = newRight)
+}

@@ -437,3 +437,112 @@ case class HammingPrunedPairs(child: Expression, hMax: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Streaming sketch-pruned pair iterator over one FLAT posting list
+  * (records of `w` longs: `[id, sk...]`, [[graft.plans.FlatPostingAggregate]]'s
+  * layout): emits (least, greatest) of every id pair whose sketch words
+  * differ in at most `hMax` bits. Emitting the canonical (min, max)
+  * ordering — instead of relying on position order like
+  * [[HammingPairsIterator]] — is what lets the posting aggregate skip
+  * sorting entirely: each unordered pair appears exactly once whatever
+  * order collect arrival produced, so the output SET is identical.
+  * Hamming reads straight out of the flat array — no per-entry array
+  * materialisation at all. Row reuse contract identical to
+  * [[SortedPairsIterator]]. */
+final class HammingPairsFlatIterator(xs: Array[Long], w: Int, hMax: Int)
+    extends Iterator[InternalRow] {
+  private[this] val n = xs.length / w
+  private[this] var i = 0
+  private[this] var j = 0
+  private[this] var found = false
+  private[this] val row = new LongPairRow
+
+  private def ham(a: Int, b: Int): Int = {
+    var h = 0
+    var k = 1
+    while (k < w) {
+      h += java.lang.Long.bitCount(xs(a * w + k) ^ xs(b * w + k))
+      k += 1
+    }
+    h
+  }
+
+  private def advance(): Unit = {
+    while (!found) {
+      j += 1
+      if (j >= n) {
+        i += 1; j = i + 1
+        if (j >= n) return
+      }
+      if (ham(i, j) <= hMax) found = true
+    }
+  }
+
+  override def hasNext: Boolean = { if (!found) advance(); found }
+  override def next(): InternalRow = {
+    if (!found) advance()
+    val a = xs(i * w); val b = xs(j * w)
+    if (a <= b) { row.p1 = a; row.p2 = b } else { row.p1 = b; row.p2 = a }
+    found = false
+    row
+  }
+}
+
+/** Codegen entry point for [[HammingPairsFlat]] — constructed once per
+  * input row by the generated code; reads the flat long array once
+  * (primitive copy, no boxing) and streams pairs. */
+final class HammingPairsFlatIterable(arr: ArrayData, w: Int, hMax: Int)
+    extends Iterable[InternalRow] {
+  override def iterator: Iterator[InternalRow] =
+    if (arr == null) Iterator.empty
+    else new HammingPairsFlatIterator(arr.toLongArray(), w, hMax)
+}
+
+/** `hamming_pruned_pairs_flat(es, w, hMax)` — [[HammingPrunedPairs]] over
+  * [[graft.plans.FlatPostingAggregate]]'s flat `array<bigint>` posting
+  * layout (records of `w` longs `[id, sk words...]`).
+  *
+  * Same candidate SET as the struct form (spec-pinned in
+  * PostingFlatSpec): the hamming test and cut are identical, and pairs
+  * are emitted as (least id, greatest id) so the unsorted flat list
+  * yields exactly the sorted struct list's pairs. What it removes is the
+  * entire boxed posting path: no struct per entry in the aggregate, no
+  * comparator sort at aggregate eval, no per-entry `getStruct`/
+  * `toLongArray` unpacking per generator row — the ×100 probe leg's
+  * largest remaining constant (SCALING.md r13). Null/empty input emits
+  * nothing. */
+case class HammingPairsFlat(child: Expression, w: Int, hMax: Int)
+    extends Generator with UnaryLike[Expression] {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("p1", LongType, nullable = false),
+    StructField("p2", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hamming_pruned_pairs_flat expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val data = child.eval(input).asInstanceOf[ArrayData]
+    if (data == null) Iterator.empty
+    else new HammingPairsFlatIterator(data.toLongArray(), w, hMax)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = classOf[HammingPairsFlatIterable].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$cls ${ev.value} = new $cls(
+        |  ${childGen.isNull} ? null : ${childGen.value}, $w, $hMax);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "hamming_pruned_pairs_flat"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

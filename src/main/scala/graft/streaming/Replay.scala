@@ -26,9 +26,12 @@ object Replay {
 
   /** One tmp root per JVM: every replay reuses the same archive/input/
     * checkpoint subdirs (cleared at call start), so repeated runs leave
-    * no orphan dirs; the root itself is removed at JVM exit. */
+    * no orphan dirs; the root itself is removed at JVM exit. Placed via
+    * [[graft.Scratch]] (r13 opt): the per-micro-batch offset/commit/
+    * state-delta fsync chain is pure constant overhead on disk-backed
+    * /tmp — tmpfs removes it (A/B in OPTIMIZATION_r13.md). */
   private lazy val tmpRoot: java.nio.file.Path = {
-    val p = Files.createTempDirectory("graft_replay_session_")
+    val p = graft.Scratch.tempDir("graft_replay_session_")
     sys.addShutdownHook(deleteRecursively(p))
     p
   }
@@ -39,6 +42,40 @@ object Replay {
       try s.forEach(c => deleteRecursively(c)) finally s.close()
     }
     Files.deleteIfExists(p)
+  }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  /** Volume-derived state-partition count for the STATEFUL replays
+    * (r13 opt round, guide §2.2/§6): every micro-batch commits one state
+    * file per shuffle partition per stateful operator, so with the
+    * session default (core count) a tiny-state replay pays 32 commits ×
+    * batches × stores of pure constant — measured 0.47×/0.62×/0.77×/
+    * 0.81× on q101/q79/q97/q94 at 4 vs 32 partitions, while the
+    * stateless replays (q36/q92) are flat. The count tracks DATA VOLUME
+    * (one partition per 4 MiB of input parquet — Bench's
+    * initialPartitionNum derivation), NOT core count: sf0.1 → 4, sf1 →
+    * 38, sf10 → 369, a 100 TB ingest → the 512 clamp (raise it with the
+    * deploy's key volume; state partition count is fixed by the FIRST
+    * batch's checkpoint, so a production stream sizes it for its
+    * lifetime peak, not its first hour). Output values are partition-
+    * invariant (keyed state, decimal-exact sums) — oracle-checked. */
+  private def stateParts(sfDir: String): Int =
+    math.min(512L, math.max(4L,
+      dirBytes(new java.io.File(sfDir)) / (4L << 20))).toInt
+
+  /** Runs `body` (a stream build + start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to the volume-derived state
+    * count, restoring the session value after — the conf is read at
+    * stream PLANNING time, so only the wrapped stream sees it. */
+  private def withStateParts[T](spark: SparkSession, sfDir: String)
+                               (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, stateParts(sfDir).toString)
+    try body finally spark.conf.set(key, old)
   }
 
   /** Replays an events-derived telegram corpus through the [[KitState]]
@@ -77,17 +114,19 @@ object Replay {
           ("replay-1.parquet", col("ts") > tMid, 2000000L)))
     corpusP.unpersist()
     val outDir = tmpRoot.resolve("kit_out").toString
-    val q = KitState(
-        spark.readStream.schema(corpus.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-          .as[KitState.KitEvent].groupByKey(_.kit),
-        rateS, staticThreshold, geoPrefix)
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", tmpRoot.resolve("kit_ckpt").toString)
-      .format("parquet").option("path", outDir)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
+    withStateParts(spark, sfDir) {
+      val q = KitState(
+          spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[KitState.KitEvent].groupByKey(_.kit),
+          rateS, staticThreshold, geoPrefix)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpRoot.resolve("kit_ckpt").toString)
+        .format("parquet").option("path", outDir)
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir).select(col("kit"), col("ts"), col("value"),
       col("accepted"), col("reason"),
       col("intervalEst").as("interval_est"),
@@ -341,18 +380,20 @@ object Replay {
           ("replay-3.parquet", !even && !f1Pred && !f2Pred, 4000000L)))
     corpus.unpersist()
     val outDir = tmpRoot.resolve("dedup_out").toString
-    val q = spark.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-      .withWatermark("ts", s"$delayMin minutes")
-      .dropDuplicatesWithinWatermark("key")
-      .select(col("event_id"), col("key"),
-        unix_timestamp(col("ts")).as("ts"), col("value"))
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", tmpRoot.resolve("dedup_ckpt").toString)
-      .format("parquet").option("path", outDir)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
+    withStateParts(spark, sfDir) {
+      val q = spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .withWatermark("ts", s"$delayMin minutes")
+        .dropDuplicatesWithinWatermark("key")
+        .select(col("event_id"), col("key"),
+          unix_timestamp(col("ts")).as("ts"), col("value"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpRoot.resolve("dedup_ckpt").toString)
+        .format("parquet").option("path", outDir)
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -479,22 +520,24 @@ object Replay {
           ("replay-5.parquet", col("cls") === "f4", 6000000L)))
     corpus.unpersist(); ev.unpersist()
     val outDir = tmpRoot.resolve("sess_out").toString
-    val q = spark.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-      .withWatermark("ts", s"$delaySec seconds")
-      .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("skey"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
-      .select(col("skey"),
-        unix_timestamp(col("session_window.start")).as("session_start"),
-        unix_timestamp(col("session_window.end")).as("session_end"),
-        col("n"), col("s"))
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", tmpRoot.resolve("sess_ckpt").toString)
-      .format("parquet").option("path", outDir)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
+    withStateParts(spark, sfDir) {
+      val q = spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .withWatermark("ts", s"$delaySec seconds")
+        .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("skey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+        .select(col("skey"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("n"), col("s"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpRoot.resolve("sess_ckpt").toString)
+        .format("parquet").option("path", outDir)
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -531,22 +574,24 @@ object Replay {
           ("replay-2.parquet", !even && col("ts") <= lit(w1), 3000000L)))
     corpus.unpersist()
     val outDir = tmpRoot.resolve("wm_out").toString
-    val q = spark.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-      .withWatermark("ts", s"$deltaMin minutes")
-      .groupBy(window(col("ts"), s"$windowMin minutes"), col("kit"))
-      // decimal-exact sum: addition order differs between engines (and
-      // across Spark shuffles), doubles would hash-flap at the 15th digit
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
-      .select(unix_timestamp(col("window.start")).as("w_start"),
-        col("kit"), col("n"), col("s"))
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", tmpRoot.resolve("wm_ckpt").toString)
-      .format("parquet").option("path", outDir)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
+    withStateParts(spark, sfDir) {
+      val q = spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .withWatermark("ts", s"$deltaMin minutes")
+        .groupBy(window(col("ts"), s"$windowMin minutes"), col("kit"))
+        // decimal-exact sum: addition order differs between engines (and
+        // across Spark shuffles), doubles would hash-flap at the 15th digit
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("kit"), col("n"), col("s"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpRoot.resolve("wm_ckpt").toString)
+        .format("parquet").option("path", outDir)
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 }
