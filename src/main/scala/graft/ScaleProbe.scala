@@ -373,10 +373,17 @@ object ScaleProbe {
     val base = d.select(col("id"), col("v"),
       call_function("vec_dot", col("v"), col("v")).as("n2"))
     val planes = operators.Similarity.collectPlanes(base, p * bands)
+    // min-of-3 per leg (r13 opt): single-shot legs are unusable on this
+    // host — a CPU burst during one leg made a pipeline PREFIX measure
+    // 2× its own superset (posting 154.7 s vs posting+generation 71.5 s
+    // in one session). Same rationale as Bench's min-of-3.
     def leg(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      println(f"LSHSTAGE $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"LSHSTAGE $name%-12s $t%8.2f s (min-of-3)")
     }
     def coded = base.select(col("id"),
       call_function("srp_codes", col("v"),

@@ -468,11 +468,30 @@ object Dedup {
     * cost one tiny join each. */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxIter: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .distinct().cache()
+    // Loop partition sizing from the EDGE volume (r13 opt round, guide
+    // §2.2): each round is 2 joins + an agg over node/edge-sized frames,
+    // and CACHED plans keep their shuffle partitioning (AQE does not
+    // re-coalesce a cached relation's output by default) — so at the
+    // session default every tiny round paid full-width task scheduling:
+    // q72's sf0.1 graph is ~25 edges yet the loop cost ~3 s of the 4.7 s
+    // row. One partition per ~2 M edges (≈32 MB of (src,dst) longs),
+    // clamped to [1, 512]: the count is an action on the already-cached
+    // edge frame (the init `distinct` needed it materialized anyway).
+    val nEdges = edges.count()
+    val loopParts = math.min(512L, math.max(1L, nEdges / 2000000L)).toString
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    confKeys.foreach(k => spark.conf.set(k, loopParts))
     var labels = edges.select(col("src").as("n")).distinct()
       .withColumn("label", col("n")).cache()
+    // the DF that actually holds this round's cache (labels may be a
+    // projection of it — unpersist must hit the cached plan itself)
+    var labelsCache = labels
     try {
       if (labels.isEmpty) return labels // no pairs
       var iter = 0
@@ -495,28 +514,38 @@ object Dedup {
         // near-copies — diameter stays tiny by construction; the jump
         // only pays off on chain-shaped graphs this operator never
         // sees. Kept O(diameter) neighbour-min.
-        val next = labels.join(nbrMin, col("n") === col("src"), "left")
-          .select(col("n"),
+        // The OLD label rides along so the convergence check is a
+        // filter over this round's cache, not a separate next⋈labels
+        // join (one fewer shuffle per round, r13 opt).
+        val nextRaw = labels.join(nbrMin, col("n") === col("src"), "left")
+          .select(col("n"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
           .cache()
         // convergence = zero CHANGED labels this round — type-agnostic
         // (ids may be any orderable type) and overflow-free, unlike a
         // label-sum invariant over near-2⁶³ ids
-        val changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
-          .where(col("x.label") =!= col("y.label")).limit(1).count()
-        labels.unpersist()
-        labels = next
+        val changed = nextRaw.where(col("label") =!= col("prev"))
+          .limit(1).count()
+        labelsCache.unpersist()
+        labelsCache = nextRaw
+        labels = nextRaw.select(col("n"), col("label"))
         fixed = changed == 0
         iter += 1
       }
       require(fixed, s"label propagation did not converge in $maxIter rounds")
       // scale diagnostic (the embedOverlap-gate precedent): rounds are
-      // the unit this operator's cost scales in — O(log diameter) with
-      // the pointer jump; a deploy seeing this climb should checkpoint
+      // the unit this operator's cost scales in; a deploy seeing this
+      // climb past a handful should checkpoint between rounds
       println(s"[graft] connectedComponents: converged in $iter rounds")
       labels
-    } catch { case e: Throwable => labels.unpersist(); throw e
-    } finally edges.unpersist()
+    } catch { case e: Throwable => labelsCache.unpersist(); throw e
+    } finally {
+      edges.unpersist()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) }
+      }
+    }
   }
 
   /** Survivor selection over [[connectedComponents]]: per duplicate
