@@ -1066,7 +1066,16 @@ object SparkEntry {
         pmod(col("user_id"), lit(50)), col("ts"), col("value"), fromS, toS)
       val dir = graft.Scratch.tempDir("q82").toString
       HourlyExport.writeCsv(frame, dir)
-      s.read.option("header", "true").option("inferSchema", "true")
+      // Explicit read schema (r13 opt, guide §6): inferSchema is a FULL
+      // extra pass over every file, and the select below casts every
+      // column to a fixed type anyway — so inference only ever produced
+      // an intermediate type the cast then normalized. Parsing straight
+      // into the final types is value-identical (same CSV parser, same
+      // null-on-empty gap semantics; hash-checked) and skips the pass.
+      // The reference reader (awk over MySQL2CSV exports) is likewise
+      // fixed-schema — inference was never part of the modeled contract.
+      s.read.option("header", "true")
+        .schema("bucket_ts LONG, avg_value DOUBLE, n LONG")
         .csv(dir)
         .select(col("k").cast("long").as("k"),
           col("bucket_ts").cast("long").as("bucket_ts"),

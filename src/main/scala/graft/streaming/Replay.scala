@@ -203,7 +203,15 @@ object Replay {
     Seq(s"${prefix}_in", s"${prefix}_ckpt", s"${prefix}_out", s"${prefix}_stage")
       .foreach(n => deleteRecursively(tmpRoot.resolve(n)))
     val inDir = Files.createDirectories(tmpRoot.resolve(s"${prefix}_in"))
-    files.foreach { case (name, pred, mtime) =>
+    // The N staged writes are independent tiny jobs over the persisted
+    // corpus — submit them concurrently so each job's tail back-fills
+    // the others' idle cores (guide §2.6; q101 stages SIX files, and
+    // sequentially each paid its own full scheduling latency). Replay
+    // ordering comes from the mtimes set below, never from write order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val staged = files.map { case (name, pred, mtime) => Future {
       val stage = tmpRoot.resolve(s"${prefix}_stage").toString + "/" + name
       corpus.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
       val ls = Files.list(java.nio.file.Paths.get(stage))
@@ -213,7 +221,8 @@ object Replay {
       val dest = inDir.resolve(name)
       Files.move(part, dest)
       dest.toFile.setLastModified(mtime)
-    }
+    }}
+    staged.foreach(Await.result(_, Duration.Inf))
     inDir
   }
 
