@@ -34,6 +34,21 @@ object Scratch {
     base
   }
 
-  /** `Files.createTempDirectory` rooted at [[root]]. */
-  def tempDir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+  /** `Files.createTempDirectory` rooted at [[root]], deleted at JVM
+    * exit (tmpfs scratch is RAM — a long driver session creating many
+    * report dirs must not accumulate them; pre-r13-opt these leaked
+    * onto /tmp and merely wasted disk). */
+  def tempDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(root, prefix)
+    sys.addShutdownHook(delete(p))
+    p
+  }
+
+  private def delete(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.forEach(c => delete(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
 }
