@@ -106,14 +106,19 @@ object Bench {
     // the OPERATOR (parse → resolve → argmax) reading them back. The
     // render cost is reported separately in the JSON. The q76 oracle
     // contract is unchanged — Verify still renders inline.
-    val q76Render: Option[Double] =
-      if (selected.exists(_._1 == "q76_ttn_envelope")) {
-        val path = s"${graft.Scratch.root}/graft_bench_q76_${math.abs(sfDir.hashCode)}"
-        val t0 = System.nanoTime()
-        SparkEntry.ttnFixtureLines(Tables.events(spark, sfDir))
-          .write.mode("overwrite").parquet(path)
-        Some((System.nanoTime() - t0) / 1e9)
-      } else None
+    // Fixture lives in a per-run Scratch.tempDir (ADVICE r13: a raw path
+    // under Scratch.root had no exit cleanup and accumulated across runs
+    // on RAM-backed /dev/shm).
+    val q76Path: Option[String] =
+      if (selected.exists(_._1 == "q76_ttn_envelope"))
+        Some(graft.Scratch.tempDir("graft_bench_q76_").toString + "/fixture")
+      else None
+    val q76Render: Option[Double] = q76Path.map { path =>
+      val t0 = System.nanoTime()
+      SparkEntry.ttnFixtureLines(Tables.events(spark, sfDir))
+        .write.mode("overwrite").parquet(path)
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = selected.map { case (name, fn) =>
       // Steady-state timing: min of two runs per query (this host's CPU
       // is bursty — identical back-to-back totals vary ±60% — and the
@@ -122,8 +127,7 @@ object Bench {
       // let Catalyst prune the projections being measured).
       val timed: () => org.apache.spark.sql.DataFrame =
         if (name == "q76_ttn_envelope") { () =>
-          SparkEntry.q76Pipeline(spark.read.parquet(
-            s"${graft.Scratch.root}/graft_bench_q76_${math.abs(sfDir.hashCode)}"))
+          SparkEntry.q76Pipeline(spark.read.parquet(q76Path.get))
         } else { () => fn(spark, sfDir) }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -140,7 +144,20 @@ object Bench {
       .map(r => s""","q76_fixture_render_sec":$r""").getOrElse("")
     // metric stays "total" — the driver selects the bench line by that
     // key (SKILL.md contract); the methodology rides in its own field.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$runs runs per query"$renderField,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$runs runs per query"$renderField,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line is ~6 KB (113 per-query fields) and the driver's
+    // bounded tail capture has truncated it mid-line for two rounds
+    // running (VERDICT r13 item 2: PERF per_query empty both rounds).
+    // Mitigation, not a contract change: the full line above stays;
+    // the per-query map is ALSO written to a file in the working dir,
+    // and a compact summary line — short enough to survive any tail
+    // capture — is printed as the very last stdout line after
+    // spark.stop() (so no engine output can follow it).
+    val queriesFile = new java.io.File("bench_queries.json").getAbsoluteFile
+    val w = new java.io.PrintWriter(queriesFile, "UTF-8")
+    try w.println(fullLine) finally w.close()
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_file":"$queriesFile","sf":"$sfDir"}""")
   }
 }

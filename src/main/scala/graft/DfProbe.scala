@@ -120,6 +120,29 @@ object DfProbe {
       }
       spark.stop(); return
     }
+    if (args.contains("ab")) {
+      // r14 size-cut A/B: interleaved cut/uncut legs in ONE JVM (the
+      // only comparison this host's tide allows), full q26 pipeline,
+      // min-of-reps per form, identical pair counts asserted.
+      var (cCut, cUncut) = (-1L, -1L)
+      def leg(cut: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val c = operators.Dedup.ngramJaccardPairs(
+          docs, col("doc_id"), col("text"), 3, 0.5,
+          maxShingleDf = Some(100), sizeCut = cut).count()
+        if (cut) cCut = c else cUncut = c
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = (1 to reps).map { i =>
+        val a = leg(cut = true); val b = leg(cut = false)
+        println(f"AB round $i: cut $a%8.2f s  uncut $b%8.2f s")
+        (a, b)
+      }
+      require(cCut == cUncut, s"pair counts diverge: $cCut vs $cUncut")
+      println(f"AB MIN cut ${ts.map(_._1).min}%8.2f s  " +
+        f"uncut ${ts.map(_._2).min}%8.2f s  pairs $cCut")
+      spark.stop(); return
+    }
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       val c = operators.Dedup.ngramJaccardPairs(

@@ -425,6 +425,29 @@ object ScaleProbe {
     println(s"LSHSTAGE cand_rows    ${cand.count()}")
     leg("full")(operators.Similarity.cosineNearDupPairsLsh(
       d, col("id"), col("v"), 0.9, p, bands))
+    // r14 A/B: the pre-r14 distinct shape — exchange on (d1, d2) for the
+    // dedup, then a SECOND exchange on d1 for the verify join (the
+    // operator now repartitions by d1 once; see Similarity). Verify
+    // joins mirrored verbatim so full vs full_2ex isolates the exchange
+    // count alone.
+    def full2ex = {
+      val c = posting.select(
+          call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
+            lit(hMax)).as(Seq("d1", "d2")))
+        .distinct()
+      c.hint("merge")
+        .join(base.select(col("id").as("d1"), col("v").as("v1"),
+          col("n2").as("nn1")), Seq("d1"))
+        .hint("merge")
+        .join(base.select(col("id").as("d2"), col("v").as("v2"),
+          col("n2").as("nn2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (call_function("vec_dot", col("v1"), col("v2")) /
+            sqrt(col("nn1") * col("nn2"))).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+    }
+    leg("full_2ex")(full2ex)
   }
 
   private def probeLshPairs(spark: SparkSession, sfDir: String,

@@ -34,21 +34,41 @@ object Scratch {
     base
   }
 
+  /** All temp dirs handed out by [[tempDir]]; drained by ONE shutdown
+    * hook (r14: a per-call `addShutdownHook` accumulated an unbounded
+    * Thread per dir across a long driver session — ADVICE r13 — and two
+    * hooks deleting overlapping trees raced at JVM exit, spraying a
+    * NoSuchFileException trace on stderr after the bench's JSON line). */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val hookInstalled: Unit = {
+    sys.addShutdownHook(registered.forEach(p => delete(p)))
+    ()
+  }
+
   /** `Files.createTempDirectory` rooted at [[root]], deleted at JVM
     * exit (tmpfs scratch is RAM — a long driver session creating many
     * report dirs must not accumulate them; pre-r13-opt these leaked
     * onto /tmp and merely wasted disk). */
   def tempDir(prefix: String): Path = {
+    hookInstalled
     val p = Files.createTempDirectory(root, prefix)
-    sys.addShutdownHook(delete(p))
+    registered.add(p)
     p
   }
 
+  /** Best-effort recursive delete that tolerates entries vanishing
+    * underneath it (another cleanup path may own part of the tree). */
   private def delete(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = Files.list(p)
-      try s.forEach(c => delete(c)) finally s.close()
+    try {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(c => delete(c)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    } catch {
+      case _: java.nio.file.NoSuchFileException => // concurrently removed
+      case _: java.io.UncheckedIOException      => // Files.list on vanished dir
     }
-    Files.deleteIfExists(p)
   }
 }

@@ -199,9 +199,20 @@ object Similarity {
       .agg(call_function("posting_flat_agg",
         col("id"), col("sk"), lit(w)).as("es"))
       .where(size(col("es")).between(2 * w, bucketCap * w))
+    // r14 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): the survivor dedup used to exchange on (d1, d2) and
+    // the verify join then re-exchanged on d1 — two shuffles of the
+    // same ~linear-in-n pair stream. Repartitioning by d1 BEFORE the
+    // distinct satisfies the aggregate's ClusteredDistribution(d1, d2)
+    // (hash on a subset of the keys) and leaves the output partitioned
+    // exactly as the d1 merge join requires: plan shows one Exchange
+    // where there were two. The map-side combine this forgoes caught
+    // almost nothing here — a pair's duplicates arise in OTHER bands,
+    // which hash to other partitions of the posting shuffle.
     val cand = posting.select(
         call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
           lit(hMax)).as(Seq("d1", "d2")))
+      .repartition(col("d1"))
       .distinct()
     // Explicit merge hints on the verify joins: the candidate-pair side
     // sits above a Generate → aggregate chain whose size Catalyst

@@ -192,6 +192,17 @@ object GraftExtensions {
     (FunctionIdentifier("pairs_of_sorted"),
       info("pairs_of_sorted", "pairs_of_sorted(array<bigint>) — generator"),
       (es: Seq[Expression]) => SortedPairs(es.head)),
+    (FunctionIdentifier("pairs_of_sorted_sizecut"),
+      info("pairs_of_sorted_sizecut",
+        "pairs_of_sorted_sizecut(array<bigint>, nshBits, minRatio) — " +
+          "generator with the Jaccard size-compatibility cut"),
+      (es: Seq[Expression]) => {
+        requireFoldable("pairs_of_sorted_sizecut", "nshBits", es(1))
+        requireFoldable("pairs_of_sorted_sizecut", "minRatio", es(2))
+        SortedPairsSizeCut(es.head,
+          Cast(es(1), IntegerType).eval().asInstanceOf[Int],
+          Cast(es(2), DoubleType).eval().asInstanceOf[Double])
+      }),
     (FunctionIdentifier("srp_codes"),
       info("srp_codes",
         "srp_codes(vec, planes, p[, sketchBands]) — map-only SRP band codes" +

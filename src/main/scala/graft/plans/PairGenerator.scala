@@ -77,6 +77,53 @@ final class SortedPairsIterable(arr: ArrayData) extends Iterable[InternalRow] {
     else new SortedPairsIterator(arr.toLongArray())
 }
 
+/** [[SortedPairsIterator]] with the Jaccard size-compatibility cut
+  * (r14, guide §2.3 "shuffle fewer bytes" at the emission site): each
+  * packed value carries the doc's shingle count in its low `nshBits`
+  * bits, and a pair whose sizes satisfy min/max < minRatio can never
+  * reach the Jaccard threshold (i ≤ min(n1,n2), jac monotone in i, so
+  * jac ≤ min/max), so it is skipped BEFORE the count aggregate instead
+  * of after it. The filter is two mask-ANDs and one multiply per pair —
+  * far cheaper than the hash-aggregate update each emitted pair costs. */
+final class SizeCutPairsIterator(a: Array[Long], nshBits: Int,
+                                 minRatio: Double) extends Iterator[InternalRow] {
+  private[this] val n = a.length
+  private[this] val mask = (1L << nshBits) - 1
+  private[this] var i = 0
+  private[this] var j = 0
+  private[this] val row = new LongPairRow
+  private[this] var has = false
+  advance()
+  private def advance(): Unit = {
+    has = false
+    var ii = i; var jj = j
+    while (true) {
+      jj += 1
+      if (jj >= n) {
+        ii += 1; jj = ii + 1
+        if (jj >= n) { i = ii; j = jj; return }
+      }
+      val n1 = a(ii) & mask; val n2 = a(jj) & mask
+      val lo = if (n1 < n2) n1 else n2
+      val hi = if (n1 < n2) n2 else n1
+      if (lo >= minRatio * hi) { i = ii; j = jj; has = true; return }
+    }
+  }
+  override def hasNext: Boolean = has
+  override def next(): InternalRow = {
+    row.p1 = a(i); row.p2 = a(j)
+    advance()
+    row
+  }
+}
+
+final class SizeCutPairsIterable(arr: ArrayData, nshBits: Int,
+                                 minRatio: Double) extends Iterable[InternalRow] {
+  override def iterator: Iterator[InternalRow] =
+    if (arr == null) Iterator.empty
+    else new SizeCutPairsIterator(arr.toLongArray(), nshBits, minRatio)
+}
+
 /** `pairs_of_sorted(ids)` — the tier-b custom Generator the r9 VERDICT
   * ordered for q26 (item 1): emits every ordered pair (p1, p2), p1 < p2
   * by array position, of a SORTED `array<long>` posting list.
@@ -132,6 +179,56 @@ case class SortedPairs(child: Expression)
   }
 
   override def prettyName: String = "pairs_of_sorted"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pairs_of_sorted_sizecut(ids, nshBits, minRatio)` — [[SortedPairs]]
+  * plus the size-compatibility cut of [[SizeCutPairsIterator]]. Exactness
+  * argument (why dropping at generation equals dropping at the filter):
+  * the downstream legs keep a pair iff `round(jac', 4) >= threshold`
+  * where jac' is evaluated at some i' ≤ min(n1, n2); jac is monotone in
+  * i and round is monotone, so `round(min/max, 4) < threshold` implies
+  * every downstream test fails. Callers pass
+  * `minRatio = threshold − 5.1e-5`: with HALF_UP rounding at 4 decimals,
+  * `round4(x) ≥ t ⟺ x ≥ t − 5e-5` (t on the 1e-4 grid), and the extra
+  * 1e-6 guards double-representation error on the CONSERVATIVE side —
+  * a falsely kept pair costs one aggregate row, a falsely dropped pair
+  * would change results. */
+case class SortedPairsSizeCut(child: Expression, nshBits: Int,
+                              minRatio: Double)
+    extends Generator with UnaryLike[Expression] {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("p1", LongType, nullable = false),
+    StructField("p2", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pairs_of_sorted_sizecut expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val data = child.eval(input).asInstanceOf[ArrayData]
+    if (data == null) Iterator.empty
+    else new SizeCutPairsIterator(data.toLongArray(), nshBits, minRatio)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = classOf[SizeCutPairsIterable].getName
+    val ratio = java.lang.Double.toString(minRatio)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$cls ${ev.value} = new $cls(
+        |  ${childGen.isNull} ? null : ${childGen.value}, $nshBits, ${ratio}D);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "pairs_of_sorted_sizecut"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

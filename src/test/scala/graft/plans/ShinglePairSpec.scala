@@ -129,4 +129,45 @@ class ShinglePairSpec extends AnyFunSuite {
       case g: org.apache.spark.sql.execution.GenerateExec => g }.head
     assert(gen.supportCodegen)
   }
+
+  test("pairs_of_sorted_sizecut equals pairs_of_sorted + post-filter") {
+    // packed (id << b | n_sh) arrays like the q26 posting lists: random
+    // sizes so the cut genuinely drops some pairs and keeps others
+    val b = 21
+    val rnd = new scala.util.Random(42)
+    val arrays = Seq(
+      Array.empty[Long],
+      Array((3L << b) | 50L),
+      (0 until 60).map { i =>
+        (i.toLong << b) | (1L + rnd.nextInt(400)) }.toArray,
+      (0 until 99).map { i =>
+        (i.toLong * 7 << b) | (100L + rnd.nextInt(5)) }.toArray) // near-equal sizes
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("k", "ids")
+    val mask = (1L << b) - 1
+    for (ratio <- Seq(0.0, 0.499949, 0.97, 1.0)) {
+      def viaCut = df.select(col("k"),
+        call_function("pairs_of_sorted_sizecut", col("ids"), lit(b),
+          lit(ratio)).as(Seq("p1", "p2")))
+      def viaFilter = df.select(col("k"),
+        call_function("pairs_of_sorted", col("ids")).as(Seq("p1", "p2")))
+        .where(least(col("p1").bitwiseAND(mask), col("p2").bitwiseAND(mask))
+          >= lit(ratio) * greatest(col("p1").bitwiseAND(mask),
+            col("p2").bitwiseAND(mask)))
+      def diffCount: Long = {
+        val g = viaCut.groupBy("k", "p1", "p2").count()
+        val w = viaFilter.groupBy("k", "p1", "p2").count()
+        g.as("g").join(w.as("w"), Seq("k", "p1", "p2"), "full")
+          .where(not(col("g.count") <=> col("w.count"))).count()
+      }
+      assert(diffCount === 0, s"codegen path, ratio=$ratio")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(diffCount === 0, s"interpreted path, ratio=$ratio")
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // ratio 0 keeps every pair — same totals as the uncut generator
+    val total = df.select(call_function("pairs_of_sorted_sizecut",
+      col("ids"), lit(b), lit(0.0)).as(Seq("p1", "p2"))).count()
+    assert(total === arrays.map(a => a.length.toLong * (a.length - 1) / 2).sum)
+  }
 }
