@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev-only (r14): plan dump + interleaved A/B for the q89 series
-  * assembly rewrite (window pass → aggregate + broadcast join). The
-  * declared q89 plan (PLANS.txt) only shows the parse-back scan — the
-  * seriesBlocks frame executes eagerly inside document()'s collect — so
-  * this prints its formatted plan, and times OLD (window) vs NEW
-  * (operator) forms of the same frame, min-of-reps, one JVM.
+  * assembly — the SHIPPED window form (the operator) vs the REJECTED
+  * aggregate + broadcast-join form (mirrored inline below; measured
+  * flat at sf0.1 and 2.7× slower at sf1, see ChartDoc.seriesBlocks).
+  * The declared q89 plan (PLANS.txt) only shows the parse-back scan —
+  * the seriesBlocks frame executes eagerly inside document()'s collect
+  * — so this prints its formatted plan too.
   *
   *   runMain graft.DiagChart <sfDir> [reps] [plan]
   */
@@ -32,17 +33,28 @@ object DiagChart {
     def blocksNew = operators.ChartDoc.seriesBlocks(e,
       (col("user_id") % 12).cast("int"), col("event_type"),
       eS(col("ts")), col("event_id"), col("value"))
-    // The pre-r14 form, mirrored verbatim: window pass for rn/t0/n.
+    // The REJECTED aggregate + broadcast-join form, mirrored verbatim
+    // (packed (t << 32 | o) first-reading min with enforced guards).
     def blocksOld = {
       val base = e.select((col("user_id") % 12).cast("int").as("st"),
         col("event_type").as("pol"), eS(col("ts")).as("t"),
         col("event_id").as("o"), col("value").as("v"))
-      val series = Window.partitionBy(col("st"), col("pol"))
-      val rows = base
-        .withColumn("rn", row_number().over(series.orderBy(col("t"), col("o"))))
-        .withColumn("t0", min(col("t")).over(series))
-        .withColumn("n", count(lit(1)).over(series))
+      val packOk = col("t") >= 0 && col("t") < lit(1L << 31) &&
+        col("o") >= 0 && col("o") < lit(1L << 32)
+      val packTO = shiftleft(col("t").cast("long"), 32)
+        .bitwiseOR(col("o").cast("long"))
+      val stats = base.groupBy(col("st"), col("pol"))
+        .agg(min(col("t")).as("t0"), count(lit(1)).as("n"),
+          min(coalesce(when(packOk, packTO), raise_error(concat(
+            lit("seriesBlocks: (t, o) out of packing range "),
+            col("t").cast("string"), lit(","), col("o").cast("string")))))
+            .as("first_pk"))
         .where(col("n") >= operators.ChartDoc.MinHours + 1)
+      val rows = base
+        .join(broadcast(stats.select(col("st"), col("pol"), col("t0"),
+          col("first_pk"))), Seq("st", "pol"))
+        .withColumn("rn", when(packTO === col("first_pk"), lit(1))
+          .otherwise(lit(2)))
         .withColumn("k", when(col("rn") === 1, lit(0L))
           .otherwise(floor((col("t") - col("t0")) / lit(operators.ChartDoc.UnitS)) + 1))
       val buckets = rows.groupBy(col("st"), col("pol"), col("t0"), col("k"))
@@ -93,11 +105,11 @@ object DiagChart {
     leg(blocksNew) // warmup
     val ts = (1 to reps).map { i =>
       val a = leg(blocksNew); val b = leg(blocksOld)
-      println(f"AB round $i: new $a%8.2f s  old $b%8.2f s")
+      println(f"AB round $i: shipped(window) $a%8.2f s  rejected(agg) $b%8.2f s")
       (a, b)
     }
-    println(f"AB MIN seriesBlocks new ${ts.map(_._1).min}%8.2f s  " +
-      f"old ${ts.map(_._2).min}%8.2f s")
+    println(f"AB MIN seriesBlocks shipped ${ts.map(_._1).min}%8.2f s  " +
+      f"rejected ${ts.map(_._2).min}%8.2f s")
     spark.stop()
   }
 }

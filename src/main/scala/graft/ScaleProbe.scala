@@ -425,15 +425,19 @@ object ScaleProbe {
     println(s"LSHSTAGE cand_rows    ${cand.count()}")
     leg("full")(operators.Similarity.cosineNearDupPairsLsh(
       d, col("id"), col("v"), 0.9, p, bands))
-    // r14 A/B: the pre-r14 distinct shape — exchange on (d1, d2) for the
-    // dedup, then a SECOND exchange on d1 for the verify join (the
-    // operator now repartitions by d1 once; see Similarity). Verify
-    // joins mirrored verbatim so full vs full_2ex isolates the exchange
-    // count alone.
-    def full2ex = {
+    // r14 A/B (kept so the rejection stays reproducible): the REJECTED
+    // 1-exchange variant — repartition(d1) before the distinct merges
+    // the dedup exchange with the verify join's. Measured SLOWER than
+    // the shipped (d1, d2)-distinct form (×10 corpus, interleaved
+    // min-of-3: 1-exchange 3.18 s vs 2-exchange 2.79 s) — see
+    // Similarity.cosineNearDupPairsLsh for the post-mortem. NOTE:
+    // `full` runs the real (shipped) operator; this leg keeps the
+    // rejected form timeable in the same JVM.
+    def full1ex = {
       val c = posting.select(
           call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
             lit(hMax)).as(Seq("d1", "d2")))
+        .repartition(col("d1"))
         .distinct()
       c.hint("merge")
         .join(base.select(col("id").as("d1"), col("v").as("v1"),
@@ -447,7 +451,7 @@ object ScaleProbe {
         .where(col("cos") >= 0.9)
         .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
     }
-    leg("full_2ex")(full2ex)
+    leg("full_1ex")(full1ex)
   }
 
   private def probeLshPairs(spark: SparkSession, sfDir: String,

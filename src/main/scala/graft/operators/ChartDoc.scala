@@ -49,26 +49,27 @@ object ChartDoc {
                    minCount: Int = MinHours + 1): DataFrame = {
     val base = events.select(station.as("st"), pol.as("pol"),
       tsS.as("t"), order.as("o"), value.as("v"))
-    // Per-series stats via an AGGREGATE + broadcast join instead of the
-    // r12 window pass (r14, guide §2.3 "aggregate before you shuffle" /
-    // §2.4): the window exchanged AND fully sorted every event row by
-    // (t, o) just to find each series' first reading, min(t) and count —
-    // three values per series. The aggregate's map-side partial reduces
-    // the exchange to one row per series×partition (~60 rows vs 1 M at
-    // sf0.1) and the full sort disappears; the first reading is
-    // identified by min(struct(t, o)) — exact, because `o` (event_id)
-    // is unique, the same uniqueness row_number's (t, o) ordering
-    // relied on for determinism.
-    val stats = base.groupBy(col("st"), col("pol"))
-      .agg(min(col("t")).as("t0"), count(lit(1)).as("n"),
-        min(struct(col("t"), col("o"))).as("first_to"))
-      .where(col("n") >= minCount)
+    // r14 prototyped, MEASURED at two scales, REJECTED (guide §1.1):
+    // computing the per-series stats (first reading, min(t), count) via
+    // an aggregate + broadcast join — so event rows are never exchanged
+    // or sorted and the heavy stage is not capped at the series
+    // cardinality — ran FLAT at sf0.1 (2.46 vs 2.38 s min-of-3,
+    // DiagChart interleaved A/B, outputs asserted identical) and 2.7×
+    // SLOWER at sf1 (1.09 → 2.96 s against a ~1.05 tide): the form
+    // needs TWO full scans (broadcast build + probe) and through sf1
+    // the single scan + one exchange + sort below stays cheaper —
+    // sorting n rows by (t, o) within 60 series partitions is simply
+    // fast relative to a second parquet scan. The window form stays;
+    // the rejected form (packed (t<<32|o) first-reading min, enforced
+    // packing guards) lives in DiagChart for re-measurement if a
+    // deploy's series count or row volume ever moves the crossover.
+    val series = Window.partitionBy(col("st"), col("pol"))
     val rows = base
-      .join(broadcast(stats.select(col("st"), col("pol"), col("t0"),
-        col("first_to"))), Seq("st", "pol"))
+      .withColumn("rn", row_number().over(series.orderBy(col("t"), col("o"))))
+      .withColumn("t0", min(col("t")).over(series))
+      .withColumn("n", count(lit(1)).over(series))
+      .where(col("n") >= minCount)
       // bucket 0 = the raw first reading; bucket k≥1 = [t0+(k-1)u, t0+ku)
-      .withColumn("rn", when(col("t") === col("first_to.t") &&
-        col("o") === col("first_to.o"), lit(1)).otherwise(lit(2)))
       .withColumn("k", when(col("rn") === 1, lit(0L))
         .otherwise(floor((col("t") - col("t0")) / lit(UnitS)) + 1))
     val buckets = rows.groupBy(col("st"), col("pol"), col("t0"), col("k"))

@@ -199,20 +199,20 @@ object Similarity {
       .agg(call_function("posting_flat_agg",
         col("id"), col("sk"), lit(w)).as("es"))
       .where(size(col("es")).between(2 * w, bucketCap * w))
-    // r14 (guide §2.4 "two operations keyed the same way share one
-    // exchange"): the survivor dedup used to exchange on (d1, d2) and
-    // the verify join then re-exchanged on d1 — two shuffles of the
-    // same ~linear-in-n pair stream. Repartitioning by d1 BEFORE the
-    // distinct satisfies the aggregate's ClusteredDistribution(d1, d2)
-    // (hash on a subset of the keys) and leaves the output partitioned
-    // exactly as the d1 merge join requires: plan shows one Exchange
-    // where there were two. The map-side combine this forgoes caught
-    // almost nothing here — a pair's duplicates arise in OTHER bands,
-    // which hash to other partitions of the posting shuffle.
+    // r14 measured-and-REJECTED (guide §1 discipline): repartitioning
+    // the candidate stream by d1 before the distinct merges the dedup
+    // exchange with the verify join's (2 exchanges → 1 in the plan) —
+    // but the ×10-probe interleaved A/B ran it SLOWER (full 3.18 s vs
+    // this shape 2.79 s min-of-3, lshstage full vs full_2ex legs): the
+    // removed exchange carries only ~16 B × survivors (~3 MB at 200 k
+    // candidates), the 1-exchange form gives up the Generate→partial-agg
+    // codegen fusion, and hashing on d1 alone spreads worse than
+    // (d1, d2) — a hub doc concentrates its pairs on one partition, the
+    // §2.5 skew mode the two-key exchange is immune to. The (d1, d2)
+    // distinct stays.
     val cand = posting.select(
         call_function("hamming_pruned_pairs_flat", col("es"), lit(w),
           lit(hMax)).as(Seq("d1", "d2")))
-      .repartition(col("d1"))
       .distinct()
     // Explicit merge hints on the verify joins: the candidate-pair side
     // sits above a Generate → aggregate chain whose size Catalyst

@@ -171,16 +171,30 @@ object Replay {
       .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Bucket count derived from corpus VOLUME (r14, VERDICT r13
-        // item 6; guide §6 file sizing): per-upsert file/dir overhead is
-        // O(touched buckets), so the count must track data volume, not a
-        // constant — same derivation as stateParts (one bucket per 4 MiB
-        // of input, clamp [4, 512]): sf0.1 → 4, sf1 → 38, sf10 → 369.
-        // Creation-time only: an EXISTING archive's stored marker count
-        // always wins inside upsert, so layouts never shift under a
-        // reader (the replay's archive dir is fresh per run). Overridable
-        // for paired A/Bs via -Dgraft.archive.buckets.
+        // item 6; guide §6 file sizing): target 256 MiB per bucket
+        // file, PLUS a write-parallelism floor — the upsert's staged
+        // write is one task per touched bucket (ArchiveSink clusters by
+        // bucket), so too few buckets serialize the write on a
+        // many-core box: min(cores, one bucket per 8 MiB), inactive
+        // once volume/256 MiB exceeds the core count. Both r14
+        // mis-derivations were CAUGHT BY MEASUREMENT and corrected:
+        // the stateParts 4-MiB divisor gave 38 buckets at sf1 (1.77×
+        // slower — per-file constants), a pure 256-MiB divisor gave 4
+        // (7.12 vs 5.92 s against 16 — write serialized). This form:
+        // sf0.1 → 4 (A/B: 4 beats 16, 2.63 vs 2.85), sf1 → 19 (≈ the
+        // 16 that beats 4, 5.92 vs 7.12), sf10 → 32, 100 TB → the 512
+        // clamp. Creation-time only: an EXISTING archive's stored
+        // marker count always wins inside upsert, so layouts never
+        // shift under a reader (the replay's archive dir is fresh per
+        // run). Overridable for paired A/Bs via -Dgraft.archive.buckets.
         val buckets = sys.props.get("graft.archive.buckets").map(_.toInt)
-          .getOrElse(stateParts(sfDir))
+          .getOrElse {
+            val bytes = dirBytes(new java.io.File(sfDir))
+            val cores = batch.sparkSession.sparkContext.defaultParallelism
+            math.min(512L, math.max(4L,
+              math.max(bytes / (256L << 20),
+                math.min(cores.toLong, bytes / (8L << 20))))).toInt
+          }
         ArchiveSink.upsert(batch, archiveDir,
           keys = Seq("event_id"), version = "ts", numBuckets = buckets)
       }
